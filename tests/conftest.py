@@ -1,0 +1,24 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+This is the TPU-native analogue of "multi-node without a cluster"
+(SURVEY.md §4): the same jitted/sharded programs that run on a TPU slice are
+validated on 8 virtual CPU devices.
+
+Note: this container's sitecustomize registers the axon TPU backend and sets
+JAX_PLATFORMS=axon before pytest starts, so plain env vars are not enough —
+we must override the jax config directly (the TPU tunnel admits one process;
+tests must never grab it or they deadlock against a running bench).
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
