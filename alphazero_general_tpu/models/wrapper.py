@@ -1,0 +1,219 @@
+"""Network lifecycle: init / train / eval / checkpoint.
+
+The TPU-native counterpart of the reference's NNetWrapper (reference:
+alphazero/NNetWrapper.py:86-282). Differences by design:
+
+* state is an explicit immutable pytree (`NetState`) — params, batch stats,
+  optimizer state and step counter — so two models (train + gated self-play,
+  Coach.py:158-181) are just two pytrees, swappable on device without copies;
+* `process` (batched eval, NNetWrapper.py:225-232) is a pure jitted function
+  usable *inside* other jitted programs — the self-play search calls it
+  directly rather than through shared-memory tensors;
+* checkpoints carry params+opt+step and the full args (NNetWrapper.py:240-250)
+  as msgpack + JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+
+from alphazero_general_tpu.models.architectures import build_model
+from alphazero_general_tpu.utils.config import Args, get_args
+
+
+@struct.dataclass
+class NetState:
+    params: dict
+    batch_stats: dict
+    opt_state: object
+    step: jnp.ndarray  # int32 total train steps
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def multistep_lr(base_lr: float, milestones, gamma: float, iteration: int) -> float:
+    """MultiStepLR stepped once per training iteration
+    (reference: Coach.py:89-98, NNetWrapper.py:197-200)."""
+    passed = sum(1 for m in milestones if iteration >= m)
+    return base_lr * (gamma ** passed)
+
+
+class NNetWrapper:
+    """Holds the model definition + current NetState for one logical network."""
+
+    def __init__(self, env, args: Args):
+        self.env = env
+        self.args = args
+        self.model = build_model(env, args)
+        self.value_size = env.NUM_PLAYERS + int(env.HAS_DRAW)
+
+        opt_args = args.get("optimizer_args", Args())
+        wd = float(opt_args.get("weight_decay", 0.0))
+        momentum = float(opt_args.get("momentum", 0.0))
+        nesterov = bool(opt_args.get("nesterov", False))
+        # torch.optim.SGD semantics: grad += wd * param, then momentum buffer,
+        # then params -= lr * buf. lr is injected per-step so the per-iteration
+        # scheduler can adjust it without rebuilding optimizer state.
+        self.tx = optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.trace(decay=momentum, nesterov=nesterov)
+            if momentum else optax.identity(),
+        )
+
+        rng = jax.random.PRNGKey(int(args.get("seed", 0)))
+        obs_spec = jnp.zeros((1,) + tuple(env.OBS_SHAPE), jnp.float32)
+        variables = self.model.init(rng, obs_spec, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.state = NetState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.int32(0),
+        )
+        self._jit_train_step = jax.jit(self._train_step)
+        self._jit_process = jax.jit(self._process)
+        self.elapsed_time = 0.0
+        self.l_pi = 0.0
+        self.l_v = 0.0
+
+    # ------------------------------------------------------------------ eval
+    def _process(self, variables, obs):
+        """Batched eval → (policy probs [B, A], value probs [B, V])
+        (NNetWrapper.py:225-232)."""
+        logp, logv = self.model.apply(variables, obs, train=False)
+        return jnp.exp(logp), jnp.exp(logv)
+
+    def process(self, obs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._jit_process(self.state.variables, obs)
+
+    def predict(self, obs) -> Tuple[np.ndarray, np.ndarray]:
+        """Single observation (NNetWrapper.py:207-223)."""
+        pi, v = self.process(jnp.asarray(obs)[None])
+        return np.asarray(pi[0]), np.asarray(v[0])
+
+    def make_eval_fn(self):
+        """EvalFn over the *current* state for use inside jitted search."""
+        variables = self.state.variables
+
+        def eval_fn(obs):
+            logp, logv = self.model.apply(variables, obs, train=False)
+            return jnp.exp(logp), jnp.exp(logv)
+
+        return eval_fn
+
+    # ----------------------------------------------------------------- train
+    def _loss(self, params, batch_stats, batch, train: bool = True):
+        obs, target_pi, target_v = batch
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train and batch_stats:
+            (logp, logv), mutated = self.model.apply(
+                variables, obs, train=True, mutable=["batch_stats"]
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            logp, logv = self.model.apply(variables, obs, train=False)
+            new_stats = batch_stats
+        # CE on distributions (NNetWrapper.py:234-238).
+        l_pi = -jnp.mean(jnp.sum(target_pi * logp, axis=-1))
+        l_v = -jnp.mean(jnp.sum(target_v * logv, axis=-1))
+        l_v = l_v * self.args.value_loss_weight
+        return l_pi + l_v, (l_pi, l_v, new_stats)
+
+    def _train_step(self, state: NetState, batch, lr):
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        (_, (l_pi, l_v, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return NetState(
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        ), (l_pi, l_v)
+
+    def current_lr(self, iteration: int) -> float:
+        sched = self.args.get("scheduler", "multistep")
+        if sched == "multistep":
+            sa = self.args.get("scheduler_args", Args())
+            return multistep_lr(
+                self.args.lr, sa.get("milestones", []), sa.get("gamma", 1.0),
+                iteration,
+            )
+        return self.args.lr
+
+    def train(self, batches: Iterable, train_steps: int, iteration: int = 0,
+              callback=None) -> Tuple[float, float]:
+        """Step-capped loop over a batch iterable (NNetWrapper.py:123-205).
+
+        ``batches`` yields (obs, target_pi, target_v) numpy/JAX arrays.
+        """
+        lr = self.current_lr(iteration)
+        pi_sum = v_sum = 0.0
+        count = 0
+        step = 0
+        while step < train_steps:
+            for batch in batches:
+                if step >= train_steps:
+                    break
+                batch = tuple(jnp.asarray(x) for x in batch)
+                self.state, (l_pi, l_v) = self._jit_train_step(
+                    self.state, batch, lr
+                )
+                step += 1
+                pi_sum += float(l_pi)
+                v_sum += float(l_v)
+                count += 1
+                if callback is not None:
+                    callback(step, train_steps, pi_sum / count, v_sum / count)
+            if count == 0:
+                break  # empty iterable — avoid an infinite loop
+        self.l_pi = pi_sum / max(count, 1)
+        self.l_v = v_sum / max(count, 1)
+        return self.l_pi, self.l_v
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, folder: str, filename: str) -> str:
+        os.makedirs(folder, exist_ok=True)
+        path = os.path.join(folder, filename)
+        payload = serialization.to_bytes(self.state)
+        with open(path + ".ckpt", "wb") as f:
+            f.write(payload)
+        from alphazero_general_tpu.utils.config import save_args_file
+
+        save_args_file(self.args, path + ".json")
+        return path + ".ckpt"
+
+    def load_checkpoint(self, folder: str, filename: str) -> None:
+        path = os.path.join(folder, filename)
+        with open(path + ".ckpt", "rb") as f:
+            data = f.read()
+        self.state = serialization.from_bytes(self.state, data)
+
+    @classmethod
+    def from_checkpoint(cls, env, folder: str, filename: str,
+                        override_args: Args | None = None) -> "NNetWrapper":
+        """Rebuild a wrapper from a saved checkpoint + its embedded args
+        (NNetWrapper.py:252-282)."""
+        from alphazero_general_tpu.utils.config import load_args_file
+
+        path = os.path.join(folder, filename)
+        args = load_args_file(path + ".json")
+        if override_args:
+            args.update(override_args)
+        wrapper = cls(env, get_args(args))
+        wrapper.load_checkpoint(folder, filename)
+        return wrapper
