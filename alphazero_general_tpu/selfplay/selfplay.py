@@ -1,0 +1,222 @@
+"""Jitted lockstep self-play.
+
+TPU-native replacement for the reference's actor runtime (reference:
+alphazero/SelfPlayAgent.pyx:13-203 + the Coach inference-server loop,
+Coach.py:325-361): instead of worker processes exchanging shared-memory
+tensors with a central GPU server, a single jitted program advances a batch of
+B games one move per step — search (scan over simulations with the network
+call fused in), temperature-scaled sampling, env step, auto-reset — and the
+whole move loop is scanned on device. Sharding the batch axis over a mesh
+makes the same program run on any slice.
+
+Parity notes:
+* fast/full simulation choice is batch-global per move round, exactly like a
+  reference worker (SelfPlayAgent.pyx:84-86 — ``self.fast`` applies to the
+  whole process batch);
+* per-game temperature follows args.temp_scaling_fn semantics (utils.py:19-27)
+  updated *before* sampling each move (SelfPlayAgent.pyx:156-158);
+* samples store the observation before the move and the full-temperature
+  policy (SelfPlayAgent.pyx:161-165); the final win vector is attached by a
+  reverse pass at iteration end (replay.py) — the jit-friendly equivalent of
+  pushing (obs, pi, winstate) at game end (SelfPlayAgent.pyx:176-196);
+* fresh search tree per move. The reference reuses subtrees via update_root
+  (MCTS.pyx:185-195) — re-rooting an array tree is planned (see ROADMAP);
+  reference also offers periodic resets via mctsResetThreshold.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+import alphazero_general_tpu.mcts.search as S
+import alphazero_general_tpu.mcts.tree as T
+
+
+class SelfPlayConfig(NamedTuple):
+    """Static self-play hyperparameters (hashable for jit)."""
+
+    sims_full: int = 100  # numMCTSSims
+    sims_fast: int = 20  # numFastSims
+    sims_warmup: int = 5  # numWarmupSims
+    prob_fast: float = 0.75  # probFastSim
+    start_temp: float = 1.0  # startTemp
+    temp_scale_factor: float = 0.15  # default_temp_scaling
+    temp_min: float = 0.2
+    const_temp: bool = False
+    tree_capacity: int = 0  # 0 → sims_full + 2
+    spec: T.SearchSpec = T.SearchSpec()
+
+    @property
+    def capacity(self) -> int:
+        return self.tree_capacity or max(self.sims_full, self.sims_warmup) + 2
+
+    @classmethod
+    def from_args(cls, args, num_players: int, has_draw: bool,
+                  warmup: bool = False) -> "SelfPlayConfig":
+        spec = T.SearchSpec(
+            cpuct=float(args.cpuct),
+            fpu_reduction=float(args.fpu_reduction),
+            root_policy_temp=float(args.root_policy_temp),
+            root_noise_frac=float(args.root_noise_frac),
+            min_discount=float(args.min_discount),
+            add_root_noise=bool(args.add_root_noise),
+            add_root_temp=bool(args.add_root_temp),
+            num_players=num_players,
+            has_draw=has_draw,
+        )
+        from alphazero_general_tpu.utils.misc import const_temp_scaling
+
+        return cls(
+            sims_full=int(args.numMCTSSims),
+            sims_fast=int(args.numFastSims),
+            sims_warmup=int(args.numWarmupSims),
+            prob_fast=float(args.probFastSim),
+            start_temp=float(args.startTemp),
+            const_temp=args.get("temp_scaling_fn") is const_temp_scaling,
+            tree_capacity=int(args.get("max_tree_nodes", 0)),
+            spec=spec,
+        )
+
+
+@struct.dataclass
+class SelfPlayState:
+    """Device-resident carry for a batch of lockstep games."""
+
+    env_state: object  # batched env pytree [B, ...]
+    temps: jnp.ndarray  # f32[B]
+    games_played: jnp.ndarray  # i32 scalar (completed games so far)
+    move_count: jnp.ndarray  # i32 scalar (move rounds so far)
+
+
+@struct.dataclass
+class MoveRecord:
+    """Per-move trajectory record emitted by each move step [B, ...]."""
+
+    obs: jnp.ndarray  # f32[B, C, H, W] observation before the move
+    pi: jnp.ndarray  # f32[B, A] full-temperature policy
+    player: jnp.ndarray  # i32[B] player who moved
+    action: jnp.ndarray  # i32[B]
+    win_state: jnp.ndarray  # f32[B, V] result after the move (0s if running)
+    done: jnp.ndarray  # bool[B] game ended on this move
+    fast: jnp.ndarray  # bool[] batch-global fast-sim flag (sample discarded)
+
+
+def init_selfplay(env, batch_size: int, start_temp: float = 1.0) -> SelfPlayState:
+    states = jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
+    return SelfPlayState(
+        env_state=states,
+        temps=jnp.full((batch_size,), jnp.float32(start_temp)),
+        games_played=jnp.int32(0),
+        move_count=jnp.int32(0),
+    )
+
+
+def _update_temps(cfg: SelfPlayConfig, temps, turns, max_turns: int):
+    """Jittable default_temp_scaling (utils.py:19-27)."""
+    if cfg.const_temp:
+        return temps
+    period = max(int(cfg.temp_scale_factor * max_turns), 1)
+    hit = (turns + 1) % period == 0
+    return jnp.where(hit, jnp.maximum(cfg.temp_min, temps / 2.0), temps)
+
+
+def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
+              rng, warmup: bool = False):
+    """One move for every game in the batch; returns (carry, MoveRecord)."""
+    B = carry.temps.shape[0]
+    r_fast, r_search, r_action, _ = jax.random.split(rng, 4)
+    states = carry.env_state
+
+    trees = S.init_batched_trees(env, states, cfg.capacity,
+                                 cfg.spec.value_size)
+
+    if warmup:
+        # Uniform policy/value, no network (SelfPlayAgent.pyx:48-52, 111-114).
+        warm_eval = S.uniform_eval_fn(
+            env.ACTION_SIZE, cfg.spec.value_size, uniform_value=True
+        )
+        trees = S.search(env, trees, cfg.spec, warm_eval, cfg.sims_warmup,
+                         r_search)
+        fast = jnp.bool_(False)
+    else:
+        fast = jax.random.uniform(r_fast) < cfg.prob_fast
+
+        def do_fast(trees):
+            return S.search(env, trees, cfg.spec, eval_fn, cfg.sims_fast,
+                            r_search)
+
+        def do_full(trees):
+            return S.search(env, trees, cfg.spec, eval_fn, cfg.sims_full,
+                            r_search)
+
+        trees = jax.lax.cond(fast, do_fast, do_full, trees)
+
+    # Temperature update before sampling (SelfPlayAgent.pyx:156-158).
+    temps = _update_temps(cfg, carry.temps, states.turns, env.MAX_TURNS)
+
+    pi_full = jax.vmap(lambda t: T.probs(t, 1.0))(trees)
+    pi_temp = jax.vmap(T.probs)(trees, temps)
+
+    logits = jnp.log(jnp.maximum(pi_temp, 1e-30))
+    action = jax.random.categorical(r_action, logits, axis=-1).astype(jnp.int32)
+
+    obs = jax.vmap(env.observation)(states)
+    player = states.player
+
+    new_states = jax.vmap(env.step)(states, action)
+    win = jax.vmap(env.win_state)(new_states)
+    done = jnp.any(win > 0, axis=-1)
+
+    # Auto-reset finished slots (SelfPlayAgent.pyx:197-200).
+    fresh = jax.vmap(lambda _: env.init())(jnp.arange(B))
+    def _sel(n, f):
+        d = done.reshape((B,) + (1,) * (n.ndim - 1))
+        return jnp.where(d, f, n)
+    next_states = jax.tree_util.tree_map(_sel, new_states, fresh)
+    temps = jnp.where(done, cfg.start_temp, temps)
+
+    carry = SelfPlayState(
+        env_state=next_states,
+        temps=temps,
+        games_played=carry.games_played + jnp.sum(done).astype(jnp.int32),
+        move_count=carry.move_count + 1,
+    )
+    record = MoveRecord(
+        obs=obs, pi=pi_full, player=player, action=action,
+        win_state=win, done=done, fast=fast,
+    )
+    return carry, record
+
+
+def play_chunk(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
+               rng, num_moves: int, warmup: bool = False):
+    """Scan ``num_moves`` move steps; returns (carry, records [K, B, ...])."""
+
+    def body(carry, r):
+        return move_step(env, cfg, eval_fn, carry, r, warmup=warmup)
+
+    return jax.lax.scan(body, carry, jax.random.split(rng, num_moves))
+
+
+def make_play_chunk_fn(env, cfg: SelfPlayConfig, apply_fn, num_moves: int,
+                       warmup: bool = False):
+    """Build a jitted chunk runner bound to a model apply function.
+
+    ``apply_fn(variables, obs) -> (log_pi, log_v)``; variables are a runtime
+    argument so updated/gated parameters never trigger recompilation
+    (the gating swap in Coach.py:558-572 becomes a pointer swap).
+    """
+
+    def run(variables, carry, rng):
+        def eval_fn(obs):
+            logp, logv = apply_fn(variables, obs)
+            return jnp.exp(logp), jnp.exp(logv)
+
+        return play_chunk(env, cfg, eval_fn, carry, rng, num_moves,
+                          warmup=warmup)
+
+    return jax.jit(run)

@@ -1,0 +1,231 @@
+"""Self-play loop, trajectory finalization, and arena tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import alphazero_general_tpu.mcts.tree as T
+from alphazero_general_tpu.envs.connect4 import Connect4
+from alphazero_general_tpu.envs.tictactoe import TicTacToe
+from alphazero_general_tpu.selfplay import (
+    ArenaConfig,
+    ReplayStore,
+    SelfPlayConfig,
+    SelfPlayState,
+    batch_iterator,
+    finalize_trajectories,
+    game_stats,
+    history_window,
+    init_selfplay,
+    make_arena_fn,
+    play_chunk,
+    winrates,
+)
+
+SPEC = T.SearchSpec(add_root_noise=True, add_root_temp=True,
+                    num_players=2, has_draw=True)
+CFG = SelfPlayConfig(sims_full=12, sims_fast=6, sims_warmup=4,
+                     prob_fast=0.5, spec=SPEC)
+
+
+def make_uniform_apply(action_size):
+    def uniform_apply(variables, obs):
+        B = obs.shape[0]
+        logp = jnp.full((B, action_size), -jnp.log(float(action_size)))
+        logv = jnp.full((B, 3), -jnp.log(3.0))
+        return logp, logv
+
+    return uniform_apply
+
+
+uniform_apply = make_uniform_apply(7)
+
+
+def run_warmup_chunk(env, cfg, batch, moves, seed=0):
+    carry = init_selfplay(env, batch, cfg.start_temp)
+    return jax.jit(
+        lambda c, r: play_chunk(env, cfg, None, c, r, moves, warmup=True)
+    )(carry, jax.random.PRNGKey(seed))
+
+
+class TestSelfPlay:
+    def test_warmup_chunk_shapes(self):
+        B, K = 8, 10
+        carry, rec = run_warmup_chunk(Connect4, CFG, B, K)
+        assert rec.obs.shape == (K, B, 4, 6, 7)
+        assert rec.pi.shape == (K, B, 7)
+        assert rec.win_state.shape == (K, B, 3)
+        assert rec.done.shape == (K, B)
+        assert int(carry.move_count) == K
+
+    def test_policies_are_valid_distributions(self):
+        _, rec = run_warmup_chunk(Connect4, CFG, 4, 12)
+        pi = np.asarray(rec.pi).reshape(-1, 7)
+        np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-4)
+        assert (pi >= 0).all()
+
+    def test_actions_always_legal(self):
+        """Every sampled action must be legal in its pre-move state."""
+        B, K = 8, 30
+        carry, rec = run_warmup_chunk(TicTacToe, CFG, B, K, seed=3)
+        obs = np.asarray(rec.obs)  # [K, B, 1, 3, 3]
+        act = np.asarray(rec.action)
+        for t in range(K):
+            for b in range(B):
+                cell = obs[t, b, 0].reshape(-1)[act[t, b]]
+                assert cell == 0, f"illegal move at t={t} b={b}"
+
+    def test_games_complete_and_reset(self):
+        B, K = 8, 30  # tictactoe games last ≤9 moves → every slot finishes ≥3
+        carry, rec = run_warmup_chunk(TicTacToe, CFG, B, K, seed=1)
+        done = np.asarray(rec.done)
+        assert done.any(axis=0).all(), "every slot should finish ≥1 game"
+        assert int(carry.games_played) == int(done.sum())
+
+    def test_episode_lengths_bounded(self):
+        B, K = 4, 40
+        _, rec = run_warmup_chunk(TicTacToe, CFG, B, K, seed=2)
+        done = np.asarray(rec.done)
+        for b in range(B):
+            last = -1
+            for t in range(K):
+                if done[t, b]:
+                    assert t - last <= TicTacToe.MAX_TURNS
+                    last = t
+
+    def test_finalize_values_match_episode_result(self):
+        B, K = 6, 30
+        cfg = CFG._replace(prob_fast=0.0)  # keep all samples
+        _, rec = run_warmup_chunk(TicTacToe, cfg, B, K, seed=4)
+        obs, pi, val = finalize_trajectories(rec, symmetric=False,
+                                             env=TicTacToe)
+        assert len(obs) == len(pi) == len(val)
+        assert len(obs) > 0
+        # Every value target is a valid one-hot outcome vector.
+        assert np.isin(val, [0.0, 1.0]).all()
+        np.testing.assert_allclose(val.sum(-1), 1.0)
+
+        # Cross-check: manually replay the first slot's first episode.
+        done = np.asarray(rec.done)
+        win = np.asarray(rec.win_state)
+        t_end = int(np.argmax(done[:, 0]))
+        expected = win[t_end, 0]
+        # The first (t_end+1) samples of slot 0 all carry that result.
+        raw_vals = []
+        pending = None
+        for t in range(K - 1, -1, -1):
+            if done[t, 0]:
+                pending = win[t, 0]
+            raw_vals.append(pending)
+        raw_vals.reverse()
+        for t in range(t_end + 1):
+            np.testing.assert_array_equal(raw_vals[t], expected)
+
+    def test_symmetric_expansion_multiplies_samples(self):
+        B, K = 4, 20
+        cfg = CFG._replace(prob_fast=0.0)
+        _, rec = run_warmup_chunk(Connect4, cfg, B, K, seed=5)
+        o1, p1, v1 = finalize_trajectories(rec, symmetric=False, env=Connect4)
+        o2, p2, v2 = finalize_trajectories(rec, symmetric=True, env=Connect4)
+        assert len(o2) == 2 * len(o1)
+        # Mirrored copy follows its original.
+        np.testing.assert_array_equal(o2[1], o1[0][:, :, ::-1])
+        np.testing.assert_array_equal(p2[1], p1[0][::-1])
+        np.testing.assert_array_equal(v2[1], v1[0])
+
+    def test_fast_sim_samples_dropped(self):
+        B, K = 4, 20
+        cfg = CFG._replace(prob_fast=1.0)  # all moves fast → no samples
+        carry = init_selfplay(Connect4, B, cfg.start_temp)
+        carry, rec = jax.jit(
+            lambda c, r: play_chunk(Connect4, cfg, uniform_apply_eval, c, r, K)
+        )(carry, jax.random.PRNGKey(0))
+        obs, pi, val = finalize_trajectories(rec, symmetric=False, env=Connect4)
+        assert len(obs) == 0
+
+    def test_game_stats(self):
+        B, K = 8, 40
+        _, rec = run_warmup_chunk(TicTacToe, CFG, B, K, seed=6)
+        wins, draws, avg_len = game_stats(rec)
+        done = np.asarray(rec.done)
+        assert wins.sum() + draws == done.sum()
+        assert 1 <= avg_len <= TicTacToe.MAX_TURNS
+
+
+def uniform_apply_eval(obs):
+    return uniform_apply(None, obs)
+
+
+class TestReplayStore:
+    def test_roundtrip_and_window(self, tmp_path):
+        store = ReplayStore(str(tmp_path), "run")
+        rng = np.random.default_rng(0)
+        for it in range(1, 4):
+            obs = rng.random((10 * it, 4, 6, 7), np.float32)
+            pi = rng.random((10 * it, 7), np.float32)
+            val = rng.random((10 * it, 3), np.float32)
+            store.save(it, obs, pi, val)
+        assert store.num_iterations() == 3
+        data = store.load_window(2, 3)
+        assert len(data[0]) == 20 + 30
+
+    def test_history_window(self):
+        # Coach.py:510-516 semantics.
+        assert history_window(1, 4, 20, 2) == 4
+        assert history_window(20, 4, 20, 2) == 12
+        assert history_window(100, 4, 20, 2) == 20
+
+    def test_batch_iterator(self):
+        rng = np.random.default_rng(0)
+        data = (np.arange(50)[:, None].astype(np.float32),
+                np.ones((50, 7), np.float32), np.ones((50, 3), np.float32))
+        batches = list(batch_iterator(data, 16, rng))
+        assert len(batches) == 3
+        seen = np.concatenate([b[0][:, 0] for b in batches])
+        assert len(np.unique(seen)) == 48
+
+
+class TestArena:
+    def test_self_vs_self_near_even(self):
+        cfg = ArenaConfig(
+            sims=8, arena_temp=1.0,
+            spec=T.SearchSpec(add_root_noise=False, add_root_temp=False),
+        )
+        arena = make_arena_fn(TicTacToe, cfg, make_uniform_apply(9), num_games=32)
+        res = arena({}, {}, jax.random.PRNGKey(0))
+        total = float(res.model_wins.sum() + res.draws)
+        assert total == 32
+        wr = np.asarray(winrates(res))
+        np.testing.assert_allclose(wr.sum(), 1.0, atol=1e-5)
+        # Identical models: no seat should dominate heavily.
+        assert 0.2 < wr[0] < 0.8
+
+    def test_stronger_search_wins(self):
+        """More simulations with the same (uniform) eval must win on average —
+        the arena's job is to detect exactly this."""
+        spec = T.SearchSpec(add_root_noise=False, add_root_temp=False)
+        strong = ArenaConfig(sims=64, arena_temp=0.25, spec=spec)
+        weak_sims = 2
+
+        # Asymmetric arena: model A gets strong search, B gets weak search.
+        # Implement by giving B a crippled eval (it can't see wins) — instead
+        # vary sims is not expressible per model in one config, so emulate
+        # strength difference via the eval: A uses uniform priors, B uses
+        # priors concentrated on column 0 (bad fixed strategy).
+        def apply(variables, obs):
+            B = obs.shape[0]
+            bad = variables["bad"]  # traced scalar: 1.0 → column-0 bot
+            bad_logits = jax.nn.log_softmax(
+                jnp.full((B, 7), -20.0).at[:, 0].set(0.0)
+            )
+            uni = jnp.full((B, 7), -jnp.log(7.0))
+            logp = jnp.where(bad > 0, bad_logits, uni)
+            logv = jnp.full((B, 3), -jnp.log(3.0))
+            return logp, logv
+
+        arena = make_arena_fn(Connect4, strong, apply, num_games=16)
+        res = arena({"bad": jnp.float32(0)}, {"bad": jnp.float32(1)},
+                    jax.random.PRNGKey(1))
+        wr = np.asarray(winrates(res))
+        assert wr[0] > 0.5, f"uniform-prior model should beat col-0 bot: {wr}"
+        del weak_sims
