@@ -68,14 +68,17 @@ class ArenaResult:
 
 
 def play_games(env, cfg: ArenaConfig, apply_fn, variables_a, variables_b,
-               num_games: int, rng):
+               num_games: int, rng, apply_fn_b=None):
     """Play ``num_games`` games of model A vs model B; returns ArenaResult.
 
     Half the games have A as player 0, half B (num_games must be even).
     Jittable end-to-end; callers typically wrap in jax.jit via
-    :func:`make_arena_fn`.
+    :func:`make_arena_fn`. ``apply_fn_b`` lets model B use a different
+    apply function (e.g. the model-free RawMCTS baseline,
+    GenericPlayers.py:198-200).
     """
     B = num_games
+    apply_b = apply_fn_b or apply_fn
     seat = (jnp.arange(B) >= B // 2).astype(jnp.int32)  # 0: A first, 1: B first
     states = jax.vmap(lambda _: env.init())(jnp.arange(B))
     value_size = cfg.spec.value_size
@@ -83,7 +86,7 @@ def play_games(env, cfg: ArenaConfig, apply_fn, variables_a, variables_b,
     def eval_both(obs, model_idx):
         """Evaluate obs with both models, select per game by model_idx."""
         pa, va = apply_fn(variables_a, obs)
-        pb, vb = apply_fn(variables_b, obs)
+        pb, vb = apply_b(variables_b, obs)
         sel = (model_idx == 0)[:, None]
         pi = jnp.where(sel, jnp.exp(pa), jnp.exp(pb))
         v = jnp.where(sel, jnp.exp(va), jnp.exp(vb))
@@ -148,14 +151,28 @@ def play_games(env, cfg: ArenaConfig, apply_fn, variables_a, variables_b,
     )
 
 
-def make_arena_fn(env, cfg: ArenaConfig, apply_fn, num_games: int):
-    """Jitted arena bound to a model apply function; params are runtime args."""
+def make_arena_fn(env, cfg: ArenaConfig, apply_fn, num_games: int,
+                  apply_fn_b=None):
+    """Jitted arena bound to model apply function(s); params are runtime args."""
 
     def run(variables_a, variables_b, rng):
         return play_games(env, cfg, apply_fn, variables_a, variables_b,
-                          num_games, rng)
+                          num_games, rng, apply_fn_b=apply_fn_b)
 
     return jax.jit(run)
+
+
+def raw_mcts_apply(action_size: int, value_size: int):
+    """Apply fn of the RawMCTS baseline: uniform priors, (near-)zero values
+    (reference: GenericPlayers.py:198-200 — raw_search semantics)."""
+
+    def apply(variables, obs):
+        B = obs.shape[0]
+        logp = jnp.full((B, action_size), -jnp.log(float(action_size)))
+        logv = jnp.full((B, value_size), -100.0)
+        return logp, logv
+
+    return apply
 
 
 def winrates(result: ArenaResult, use_draws: bool = True):

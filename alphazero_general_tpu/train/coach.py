@@ -1,0 +1,369 @@
+"""Coach — the training orchestrator.
+
+TPU-native counterpart of the reference Coach (reference:
+alphazero/Coach.py:153-591). The iteration structure, gating rules, history
+window, warmup policy, resume semantics and metric tags are kept 1:1; the
+runtime changes completely: self-play is a jitted on-device program advanced
+in chunks (no worker processes, queues or shared tensors), training consumes
+host-side sample files through a simple shuffled iterator, and model gating is
+a pytree swap between two resident parameter sets.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from enum import Enum
+from glob import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_general_tpu.models.wrapper import NNetWrapper
+from alphazero_general_tpu.selfplay.arena import (
+    ArenaConfig,
+    make_arena_fn,
+    raw_mcts_apply,
+    winrates,
+)
+from alphazero_general_tpu.selfplay.replay import (
+    ReplayStore,
+    batch_iterator,
+    finalize_trajectories,
+    game_stats,
+    history_window,
+)
+from alphazero_general_tpu.selfplay.selfplay import (
+    SelfPlayConfig,
+    init_selfplay,
+    make_play_chunk_fn,
+)
+from alphazero_general_tpu.utils.config import Args
+from alphazero_general_tpu.utils.metrics import make_writer
+from alphazero_general_tpu.utils.misc import get_iter_file
+
+
+class TrainState(Enum):
+    """Status surface polled by UIs (reference: Coach.py:129-139)."""
+
+    STANDBY = 0
+    INIT = 1
+    INIT_AGENTS = 2
+    SELF_PLAY = 3
+    SAVE_SAMPLES = 4
+    PROCESS_RESULTS = 5
+    KILL_AGENTS = 6
+    TRAIN = 7
+    COMPARE_BASELINE = 8
+    COMPARE_PAST = 9
+
+
+class Coach:
+    def __init__(self, env, nnet: NNetWrapper, args: Args):
+        self.state = TrainState.INIT
+        self.env = env
+        self.args = args
+        self.args._num_players = env.NUM_PLAYERS + int(env.HAS_DRAW)
+        self.train_net = nnet
+        self.self_play_net = NNetWrapper(env, args)
+
+        self.ckpt_folder = os.path.join(args.checkpoint, args.run_name)
+        os.makedirs(self.ckpt_folder, exist_ok=True)
+
+        # Resume discovery (Coach.py:165-181).
+        train_iter = args.startIter
+        if args.load_model:
+            networks = sorted(glob(os.path.join(self.ckpt_folder, "*.ckpt")))
+            self.args.startIter = len(networks)
+            if self.args.startIter == 0:
+                self._save_model(self.train_net, 0)
+                self.args.startIter = 1
+            train_iter = self.args.startIter - 1
+            self._load_model(self.train_net, train_iter)
+
+        if args.selfPlayModelIter == 0:
+            self.self_play_iter = 0
+        else:
+            self.self_play_iter = args.selfPlayModelIter or train_iter
+        if args.model_gating:
+            self._load_model(self.self_play_net, self.self_play_iter)
+
+        self.gating_counter = 0
+        self.warmup = False
+        self.model_iter = self.args.startIter
+        self.loss_pi = 0.0
+        self.loss_v = 0.0
+        self.sample_time = 0.0
+        self.games_played_iter = 0
+        self.stop_train = threading.Event()
+        self.pause_train = threading.Event()
+        self.train_net.stop_train = self.stop_train
+        self.train_net.pause_train = self.pause_train
+
+        self.store = ReplayStore(args.data, args.run_name)
+        self.writer = make_writer("runs", args.run_name)
+        self._np_rng = np.random.default_rng(int(args.get("seed", 0)))
+        self._rng = jax.random.PRNGKey(int(args.get("seed", 0)) + 1)
+
+        # Jitted programs, built lazily (first call compiles).
+        self._chunk_fns = {}
+        self._arena_fn = None
+        self._baseline_fn = None
+
+    # ------------------------------------------------------------- utilities
+    def _save_model(self, net: NNetWrapper, iteration: int) -> None:
+        net.save_checkpoint(self.ckpt_folder, get_iter_file(iteration))
+
+    def _load_model(self, net: NNetWrapper, iteration: int) -> None:
+        net.load_checkpoint(self.ckpt_folder, get_iter_file(iteration))
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _apply_fn(self):
+        model = self.train_net.model
+
+        def apply(variables, obs):
+            return model.apply(variables, obs, train=False)
+
+        return apply
+
+    def _chunk_fn(self, warmup: bool):
+        key = ("warmup" if warmup else "normal")
+        if key not in self._chunk_fns:
+            cfg = SelfPlayConfig.from_args(
+                self.args, self.env.NUM_PLAYERS, self.env.HAS_DRAW
+            )
+            self._chunk_fns[key] = (
+                cfg,
+                make_play_chunk_fn(
+                    self.env, cfg, self._apply_fn(),
+                    int(self.args.get("selfplay_chunk_moves", 16)),
+                    warmup=warmup,
+                ),
+            )
+        return self._chunk_fns[key]
+
+    # ------------------------------------------------------------ main loop
+    def learn(self) -> None:
+        """Iteration loop (Coach.py:225-288)."""
+        while self.model_iter <= self.args.numIters:
+            print(f"------ITER {self.model_iter}------")
+            skip = (
+                self.args.skipSelfPlayIters
+                and self.model_iter <= self.args.skipSelfPlayIters
+            ) or (
+                self.args.train_on_past_data
+                and self.model_iter == self.args.startIter
+            )
+            if not skip:
+                if self.model_iter <= self.args.numWarmupIters:
+                    print("Warmup: random policy and value")
+                    self.warmup = True
+                elif self.self_play_iter == 0:
+                    self.warmup = True
+                else:
+                    self.warmup = False
+                self.generate_self_play_data(self.model_iter)
+                if self.stop_train.is_set():
+                    break
+
+            self.train(self.model_iter)
+            if self.stop_train.is_set():
+                break
+
+            if self.args.compareWithBaseline and \
+                    (self.model_iter - 1) % self.args.baselineCompareFreq == 0:
+                self.compare_to_baseline(self.model_iter)
+                if self.stop_train.is_set():
+                    break
+
+            if self.args.compareWithPast and \
+                    (self.model_iter - 1) % self.args.pastCompareFreq == 0:
+                self.compare_to_past(self.model_iter)
+                if self.stop_train.is_set():
+                    break
+
+            self.writer.add_scalar(
+                "win_rate/self_play_model", self.self_play_iter, self.model_iter
+            )
+            self.model_iter += 1
+        self.state = TrainState.STANDBY
+
+    # ------------------------------------------------------------- self-play
+    def generate_self_play_data(self, iteration: int) -> None:
+        """Run jitted self-play chunks until gamesPerIteration games finish
+        (replaces Coach.py:290-435: agents + inference server + sample drain).
+        """
+        self.state = TrainState.SELF_PLAY
+        cfg, chunk_fn = self._chunk_fn(self.warmup)
+        batch = int(self.args.process_batch_size)
+        target = int(self.args.gamesPerIteration)
+
+        # Self-play uses the gated model (Coach.py:337-338).
+        net = self.self_play_net if self.args.model_gating else self.train_net
+        variables = net.state.variables
+
+        carry = init_selfplay(self.env, batch, cfg.start_temp)
+        records = []
+        start = time.time()
+        games_done = 0
+        while games_done < target and not self.stop_train.is_set():
+            while self.pause_train.is_set():
+                time.sleep(0.1)
+            carry, rec = chunk_fn(variables, carry, self._next_rng())
+            records.append(jax.device_get(rec))
+            games_done = int(carry.games_played)
+            self.games_played_iter = games_done
+
+        elapsed = time.time() - start
+        self.sample_time = elapsed / max(games_done, 1)
+
+        self.state = TrainState.SAVE_SAMPLES
+        rec = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *records
+        )
+        obs, pi, value = finalize_trajectories(
+            rec, symmetric=bool(self.args.symmetricSamples), env=self.env
+        )
+        print(f"Saving {len(obs)} samples ({games_done} games, "
+              f"{elapsed:.1f}s, {self.sample_time * 1000:.1f} ms/game)")
+        self.store.save(iteration, obs, pi, value)
+
+        self.state = TrainState.PROCESS_RESULTS
+        wins, draws, avg_len = game_stats(rec)
+        total = max(int(wins.sum()) + draws, 1)
+        for i, w in enumerate(wins):
+            credit = 0.5 * draws if self.args.use_draws_for_winrate else 0.0
+            self.writer.add_scalar(
+                f"win_rate/player{i}", (w + credit) / total, iteration
+            )
+        self.writer.add_scalar("win_rate/draws", draws / total, iteration)
+        self.writer.add_scalar("win_rate/avg_game_length", avg_len, iteration)
+        self.writer.add_scalar("loss/sample_time", self.sample_time, iteration)
+        self.state = TrainState.STANDBY
+
+    # -------------------------------------------------------------- training
+    def train(self, iteration: int) -> None:
+        """Train over the growing history window (Coach.py:437-525)."""
+        self.state = TrainState.TRAIN
+        window = history_window(
+            iteration,
+            int(self.args.minTrainHistoryWindow),
+            int(self.args.maxTrainHistoryWindow),
+            int(self.args.trainHistoryIncrementIters),
+        )
+        first = max(1, iteration - window)
+        data = self.store.load_window(first, iteration)
+        if data is None:
+            print("Warning: no training data found; skipping train step")
+            self.state = TrainState.STANDBY
+            return
+
+        batch_size = int(self.args.train_batch_size)
+        if self.args.autoTrainSteps:
+            if self.args.averageTrainSteps:
+                counts = [
+                    len(d[0]) for i in range(first, iteration + 1)
+                    if (d := self.store.load(i)) is not None
+                ]
+                latest = int(np.mean(counts)) if counts else 0
+            else:
+                latest_data = self.store.load(iteration)
+                latest = len(latest_data[0]) if latest_data else 0
+            train_steps = max(latest // batch_size, 1)
+        else:
+            train_steps = int(self.args.train_steps_per_iteration)
+
+        def batches():
+            while True:
+                yield from batch_iterator(data, batch_size, self._np_rng)
+
+        self.loss_pi, self.loss_v = self.train_net.train(
+            batches(), train_steps, iteration=iteration
+        )
+        self.writer.add_scalar("loss/policy", self.loss_pi, iteration)
+        self.writer.add_scalar("loss/value", self.loss_v, iteration)
+        self.writer.add_scalar(
+            "loss/total", self.loss_pi + self.loss_v, iteration
+        )
+        self._save_model(self.train_net, iteration)
+        self.state = TrainState.STANDBY
+
+    # ------------------------------------------------------------ evaluation
+    def _get_arena_fn(self, num_games: int, baseline: bool):
+        cfg = ArenaConfig.from_args(
+            self.args, self.env.NUM_PLAYERS, self.env.HAS_DRAW
+        )
+        apply_b = None
+        if baseline:
+            apply_b = raw_mcts_apply(
+                self.env.ACTION_SIZE,
+                self.env.NUM_PLAYERS + int(self.env.HAS_DRAW),
+            )
+        return make_arena_fn(
+            self.env, cfg, self._apply_fn(), num_games, apply_fn_b=apply_b
+        )
+
+    def compare_to_past(self, model_iter: int) -> None:
+        """Arena vs the gated self-play model + gating decision
+        (Coach.py:527-572)."""
+        self.state = TrainState.COMPARE_PAST
+        self._load_model(self.self_play_net, self.self_play_iter)
+        print(f"PITTING AGAINST ITERATION {self.self_play_iter}")
+
+        if self._arena_fn is None:
+            self._arena_fn = self._get_arena_fn(
+                int(self.args.arenaCompare), baseline=False
+            )
+        result = self._arena_fn(
+            self.train_net.state.variables,
+            self.self_play_net.state.variables,
+            self._next_rng(),
+        )
+        wr = np.asarray(winrates(result, self.args.use_draws_for_winrate))
+        winrate = float(wr[0])
+        wins = np.asarray(result.model_wins)
+        print(f"NEW/PAST WINS : {wins[0]:.0f} / {wins[1]:.0f} ; "
+              f"DRAWS : {float(result.draws):.0f}")
+        print(f"NEW MODEL WINRATE : {round(winrate, 3)}")
+        self.writer.add_scalar("win_rate/past", winrate, model_iter)
+
+        # Gating (Coach.py:558-572).
+        if (
+            self.args.model_gating
+            and winrate < self.args.min_next_model_winrate
+            and (self.args.max_gating_iters is None
+                 or self.gating_counter < self.args.max_gating_iters)
+        ):
+            self.gating_counter += 1
+        elif self.args.model_gating:
+            self.self_play_iter = model_iter
+            self._load_model(self.self_play_net, self.self_play_iter)
+            self.gating_counter = 0
+        if self.args.model_gating:
+            print(f"Using model version {self.self_play_iter} for self play.")
+        self.state = TrainState.STANDBY
+
+    def compare_to_baseline(self, iteration: int) -> None:
+        """Arena vs the model-free RawMCTS baseline (Coach.py:574-590)."""
+        self.state = TrainState.COMPARE_BASELINE
+        print("PITTING AGAINST BASELINE: RawMCTS")
+        if self._baseline_fn is None:
+            self._baseline_fn = self._get_arena_fn(
+                int(self.args.arenaCompareBaseline), baseline=True
+            )
+        result = self._baseline_fn(
+            self.train_net.state.variables, {}, self._next_rng()
+        )
+        wr = np.asarray(winrates(result, self.args.use_draws_for_winrate))
+        winrate = float(wr[0])
+        wins = np.asarray(result.model_wins)
+        print(f"NEW/BASELINE WINS : {wins[0]:.0f} / {wins[1]:.0f} ; "
+              f"DRAWS : {float(result.draws):.0f}")
+        print(f"NEW MODEL WINRATE : {round(winrate, 3)}")
+        self.writer.add_scalar("win_rate/baseline", winrate, iteration)
+        self.state = TrainState.STANDBY

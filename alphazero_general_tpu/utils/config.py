@@ -62,11 +62,15 @@ class Args(dict):
         return self.__class__(super().copy())
 
 
-def _default_temp_scaling_ref():
-    # Local import to avoid a cycle (misc imports nothing from config).
-    from alphazero_general_tpu.utils.misc import default_temp_scaling
+def _register_builtins() -> None:
+    """Pre-register the framework's serializable callables so args files load
+    in fresh processes (the reference revives these by eval against a fixed
+    import namespace, alphazero/__init__.py:29-37)."""
+    from alphazero_general_tpu.utils import misc
 
-    return default_temp_scaling
+    for fn in (misc.default_temp_scaling, misc.const_temp_scaling,
+               misc.scale_temp):
+        _REGISTRY.setdefault(fn.__name__, fn)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +228,7 @@ def save_args_file(args: Args, filepath: str) -> None:
 
 
 def load_args_file(filepath: str) -> Args:
+    _register_builtins()
     with open(filepath) as f:
         raw = json.load(f)
     return _decode(raw)
