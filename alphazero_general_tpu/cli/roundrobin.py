@@ -1,0 +1,109 @@
+"""All-pairs tournament over checkpoints with Elo-style ratings:
+``python -m alphazero_general_tpu.cli.roundrobin <env> --checkpoints a b c``.
+
+Replaces the reference round-robin script + choix ratings (reference:
+alphazero/roundrobin.py:14-89) using the jitted batched arena for each pair
+and the built-in I-LSR estimator (utils/elo.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+
+import numpy as np
+
+from alphazero_general_tpu.cli.common import (
+    add_args_overrides,
+    add_device_arg,
+    add_env_arg,
+    apply_device,
+    enable_compile_cache,
+    resolve_args,
+    resolve_env,
+)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_env_arg(p)
+    p.add_argument(
+        "--checkpoints", nargs="+", required=True,
+        help="checkpoint paths (or a glob like 'checkpoint/run/*.ckpt')",
+    )
+    p.add_argument("--games", type=int, default=32,
+                   help="games per pairing (even)")
+    p.add_argument("--include-baseline", action="store_true",
+                   help="add the model-free RawMCTS baseline as a contestant")
+    p.add_argument("--seed", type=int, default=0)
+    add_device_arg(p, default="cpu")
+    add_args_overrides(p)
+    ns = p.parse_args(argv)
+
+    apply_device(ns)
+    enable_compile_cache()
+    env = resolve_env(ns)
+    args = resolve_args(ns)
+
+    import jax
+
+    from alphazero_general_tpu.models import NNetWrapper
+    from alphazero_general_tpu.selfplay.arena import (
+        ArenaConfig,
+        make_arena_fn,
+        raw_mcts_apply,
+    )
+    from alphazero_general_tpu.utils.elo import ilsr_pairwise_dense, to_elo
+
+    paths = []
+    for c in ns.checkpoints:
+        paths.extend(sorted(glob(c)) if any(ch in c for ch in "*?[") else [c])
+    names, variables_list, apply_fns = [], [], []
+    base_apply = None
+    for path in paths:
+        folder, filename = os.path.split(path)
+        filename = filename.removesuffix(".ckpt")
+        nn = NNetWrapper.from_checkpoint(env, folder, filename)
+        names.append(filename)
+        variables_list.append(nn.state.variables)
+        model = nn.model
+        if base_apply is None:
+            def base_apply(variables, obs, _m=model):
+                return _m.apply(variables, obs, train=False)
+        apply_fns.append(base_apply)
+    if ns.include_baseline:
+        names.append("rawmcts-baseline")
+        variables_list.append({})
+        apply_fns.append(raw_mcts_apply(
+            env.ACTION_SIZE, env.NUM_PLAYERS + int(env.HAS_DRAW)))
+
+    n = len(names)
+    if n < 2:
+        raise SystemExit("need at least two contestants")
+    cfg = ArenaConfig.from_args(args, env.NUM_PLAYERS, env.HAS_DRAW)
+    rng = jax.random.PRNGKey(ns.seed)
+    wins = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            arena = make_arena_fn(env, cfg, apply_fns[i], ns.games,
+                                  apply_fn_b=apply_fns[j])
+            rng, sub = jax.random.split(rng)
+            res = arena(variables_list[i], variables_list[j], sub)
+            mw = np.asarray(res.model_wins)
+            d = float(res.draws)
+            wins[i, j] += mw[0] + 0.5 * d
+            wins[j, i] += mw[1] + 0.5 * d
+            print(f"{names[i]} vs {names[j]}: {mw[0]:.0f}-{mw[1]:.0f} "
+                  f"({d:.0f} draws)")
+
+    ratings = to_elo(ilsr_pairwise_dense(wins))
+    order = np.argsort(-ratings)
+    print("\n=== ratings ===")
+    for rank, idx in enumerate(order, 1):
+        print(f"{rank:2d}. {names[idx]:<30s} {ratings[idx]:7.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -172,16 +172,19 @@ def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
     evaluates the leaf's observation and calls :func:`process_results`.
     """
 
+    # One tiebreak draw per walk, hoisted out of the loop body: ties are
+    # broken randomly (the reference shuffles children at expansion,
+    # MCTS.pyx:78-79) without paying an RNG call per depth step.
+    tiebreak = jax.random.uniform(rng, (tree.action_size,)) * 1e-6
+
     def cond(carry):
-        tree, node, _depth, _rng, _fresh = carry
+        tree, node, _depth = carry
         visited = tree.n[node] > 0
         terminal = jnp.any(tree.e[node] > 0)
         return visited & ~terminal
 
     def body(carry):
-        tree, node, depth, rng, _fresh = carry
-        rng, sub = jax.random.split(rng)
-        tiebreak = jax.random.uniform(sub, (tree.action_size,)) * 1e-6
+        tree, node, depth = carry
         scores = _child_scores(tree, node, spec, tiebreak)
         action = jnp.argmax(scores).astype(jnp.int32)
 
@@ -206,11 +209,11 @@ def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
             )
 
         tree = jax.lax.cond(need_alloc, alloc, lambda t: t, tree)
-        return tree, slot, depth + 1, rng, need_alloc
+        return tree, slot, depth + 1
 
     tree = tree.replace(depth=jnp.int32(0))
-    tree, leaf, depth, rng, _ = jax.lax.while_loop(
-        cond, body, (tree, ROOT, jnp.int32(0), rng, jnp.bool_(False))
+    tree, leaf, depth = jax.lax.while_loop(
+        cond, body, (tree, ROOT, jnp.int32(0))
     )
 
     # Track max depth for the discount exponent (MCTS.pyx:219-221).

@@ -125,8 +125,16 @@ def _update_temps(cfg: SelfPlayConfig, temps, turns, max_turns: int):
 
 
 def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
-              rng, warmup: bool = False):
-    """One move for every game in the batch; returns (carry, MoveRecord)."""
+              rng, warmup: bool = False, sims_override: int | None = None,
+              fast_flag: bool = False):
+    """One move for every game in the batch; returns (carry, MoveRecord).
+
+    With ``sims_override`` set, the fast/full decision is made by the *caller*
+    (host) and the program contains a single search of fixed length — much
+    cheaper to compile than a traced two-branch cond; the batch-global
+    fast-sim draw matches the reference worker either way
+    (SelfPlayAgent.pyx:84-86).
+    """
     B = carry.temps.shape[0]
     r_fast, r_search, r_action, _ = jax.random.split(rng, 4)
     states = carry.env_state
@@ -142,6 +150,10 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
         trees = S.search(env, trees, cfg.spec, warm_eval, cfg.sims_warmup,
                          r_search)
         fast = jnp.bool_(False)
+    elif sims_override is not None:
+        trees = S.search(env, trees, cfg.spec, eval_fn, sims_override,
+                         r_search)
+        fast = jnp.bool_(fast_flag)
     else:
         fast = jax.random.uniform(r_fast) < cfg.prob_fast
 
@@ -200,6 +212,41 @@ def play_chunk(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
         return move_step(env, cfg, eval_fn, carry, r, warmup=warmup)
 
     return jax.lax.scan(body, carry, jax.random.split(rng, num_moves))
+
+
+def make_move_fns(env, cfg: SelfPlayConfig, apply_fn, mesh=None):
+    """Production move runners: separately-jitted fast / full / warmup move
+    steps with host-side fast-sim choice (see move_step docstring).
+
+    Returns dict with 'fast', 'full', 'warmup' → jitted
+    ``fn(variables, carry, rng) -> (carry, MoveRecord)``. Pass ``mesh`` to
+    shard the game batch over devices (params replicated).
+    """
+    import functools
+
+    def build(sims, fast_flag, warmup):
+        def run(variables, carry, rng):
+            def eval_fn(obs):
+                logp, logv = apply_fn(variables, obs)
+                return jnp.exp(logp), jnp.exp(logv)
+
+            return move_step(env, cfg, eval_fn, carry, rng, warmup=warmup,
+                             sims_override=None if warmup else sims,
+                             fast_flag=fast_flag)
+
+        if mesh is not None:
+            from alphazero_general_tpu.parallel.mesh import replicated
+
+            rep = replicated(mesh)
+            return jax.jit(run, in_shardings=(rep, None, rep))
+        return jax.jit(run)
+
+    del functools
+    return {
+        "fast": build(cfg.sims_fast, True, False),
+        "full": build(cfg.sims_full, False, False),
+        "warmup": build(cfg.sims_warmup, False, True),
+    }
 
 
 def make_play_chunk_fn(env, cfg: SelfPlayConfig, apply_fn, num_moves: int,
