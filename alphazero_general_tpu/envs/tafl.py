@@ -1,0 +1,466 @@
+"""Tafl (Viking chess) — brandubh 7x7 and hnefatafl 11x11 as JAX kernels.
+
+Re-implements the reference fastafl engine + env adapters (reference:
+fastafl/cengine.pyx:24-334, fastafl/variants.py:1-22,
+alphazero/envs/brandubh/fastafl.pyx:31-268,
+alphazero/envs/hnefatafl/fastafl.pyx) TPU-first:
+
+* rook-ray legal moves: instead of per-piece while-loops, each (square,
+  move-type) pair carries a precomputed "strictly between" mask; legality is
+  two dense matvecs (blocked-count and destination-landability) — MXU work;
+* custodial capture: 4 simultaneous direction checks (cengine.pyx:174-199);
+* encirclement ("surround") capture: the reference's recursive group walk
+  (cengine.pyx:207-247) becomes a bounded liberty flood-fill — an enemy group
+  is captured iff no member reaches an empty *normal* tile (throne/escape
+  tiles and board edges block);
+* win state per cengine.pyx:146-169 with the env adapter's draw-move cap and
+  player mapping (fastafl.pyx:190-202: player 0 = the '2' team, which moves
+  first; player 1 = the '1'+king team).
+
+Cell encoding matches the reference exactly: 0 empty, 1 white soldier,
+2 black soldier, 3 king, 4 throne, 5 escape, 7 king-on-throne,
+8 king-on-escape (cengine.pyx:24-32).
+
+Documented deviations from the reference engine:
+* cengine.pyx:189 lets a *white* move custodially capture white's own king
+  when ``king_two_sided_capture`` is set (the do_capture test ignores the
+  mover's team). Here only black movers capture the king — the sane rule.
+* cengine.pyx:164-167 declares black the winner when white's *soldiers* have
+  no legal moves even if the king can still move (piece_type filters exact
+  value 1). Replicated as-is for parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alphazero_general_tpu.envs.core import Env
+
+EMPTY, WHITE, BLACK, KING, THRONE, ESCAPE = 0, 1, 2, 3, 4, 5
+KING_ON_THRONE, KING_ON_ESCAPE = 7, 8
+KING_VALUES = (KING, KING_ON_THRONE, KING_ON_ESCAPE)
+
+HNEFATAFL_BOARD = """50022222005
+00000200000
+00000000000
+20000100002
+20001110002
+22011711022
+20001110002
+20000100002
+00000000000
+00000200000
+50022222005"""
+
+BRANDUBH_BOARD = """5002005
+0002000
+0001000
+2217122
+0001000
+0002000
+5002005"""
+
+
+@struct.dataclass
+class TaflState:
+    board: jnp.ndarray  # int8[H, W], reference cell encoding
+    player: jnp.ndarray  # int32: 0 = black ('2' team, moves first), 1 = white
+    turns: jnp.ndarray
+    last_action: jnp.ndarray
+    king_captured: jnp.ndarray  # bool: set by custodial/surround king capture
+
+
+def _parse_board(s: str) -> np.ndarray:
+    rows = [list(map(int, line.strip())) for line in s.strip().splitlines()]
+    return np.array(rows, dtype=np.int8)
+
+
+def _build_tables(H: int, W: int):
+    """Move-encoding tables (reference: fastafl.pyx:47-80).
+
+    action = (W+H-2) * (c + r*W) + move_type; move_type < H-1 → vertical to
+    row mt (+1 if mt >= r), else horizontal to col mt-(H-1) (+1 if >= c).
+    """
+    MT = W + H - 2
+    dest_r = np.zeros((H, W, MT), np.int32)
+    dest_c = np.zeros((H, W, MT), np.int32)
+    between = np.zeros((H * W * MT, H * W), np.float32)
+    dest_onehot = np.zeros((H * W * MT, H * W), np.float32)
+    for r in range(H):
+        for c in range(W):
+            for mt in range(MT):
+                if mt < H - 1:
+                    r2 = mt + (1 if mt >= r else 0)
+                    c2 = c
+                else:
+                    c2 = (mt - (H - 1)) + (1 if (mt - (H - 1)) >= c else 0)
+                    r2 = r
+                dest_r[r, c, mt] = r2
+                dest_c[r, c, mt] = c2
+                a = (c + r * W) * MT + mt
+                dest_onehot[a, r2 * W + c2] = 1.0
+                if r2 == r:
+                    lo, hi = sorted((c, c2))
+                    for cc in range(lo + 1, hi):
+                        between[a, r * W + cc] = 1.0
+                else:
+                    lo, hi = sorted((r, r2))
+                    for rr in range(lo + 1, hi):
+                        between[a, rr * W + c] = 1.0
+    return MT, dest_r, dest_c, between, dest_onehot
+
+
+def _build_symmetry_perms(H: int, W: int, MT: int) -> np.ndarray:
+    """Action-permutation tables for the 8 dihedral transforms.
+
+    PERM[k, new_action] = old_action, so new_pi = pi[PERM[k]]; transform k
+    enumerates (rot, flip) as rot*2 + flip with rot quarter-turns CCW
+    (matching np.rot90 on the board planes) and flip = fliplr afterwards.
+    """
+    assert H == W, "dihedral symmetries require square boards"
+    N = H
+
+    def tf_cell(r, c, rot, flip):
+        for _ in range(rot):
+            r, c = N - 1 - c, r  # np.rot90 CCW: out[N-1-c, r] = in[r, c]
+        if flip:
+            c = N - 1 - c
+        return r, c
+
+    def encode(r, c, r2, c2):
+        if c == c2:
+            mt = r2 if r2 < r else r2 - 1
+        else:
+            mt = (N - 1) + (c2 if c2 < c else c2 - 1)
+        return (c + r * N) * MT + mt
+
+    A = N * N * MT
+    perms = np.zeros((8, A), np.int64)
+    for rot in range(4):
+        for flip in (False, True):
+            k = rot * 2 + int(flip)
+            for r in range(N):
+                for c in range(N):
+                    for mt in range(MT):
+                        if mt < N - 1:
+                            r2, c2 = mt + (1 if mt >= r else 0), c
+                        else:
+                            cc = mt - (N - 1)
+                            r2, c2 = r, cc + (1 if cc >= c else 0)
+                        old_a = (c + r * N) * MT + mt
+                        nr, nc = tf_cell(r, c, rot, flip)
+                        nr2, nc2 = tf_cell(r2, c2, rot, flip)
+                        new_a = encode(nr, nc, nr2, nc2)
+                        perms[k, new_a] = old_a
+    return perms
+
+
+def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
+                  draw_move_count: int, move_over_throne: bool = True,
+                  king_can_enter_throne: bool = False):
+    """Build a tafl Env class for a variant (reference: cengine.pyx:54-57
+    rule flags, variants.py board strings)."""
+    INIT = _parse_board(board_str)
+    H, W = INIT.shape
+    MT, DEST_R, DEST_C, BETWEEN, DEST_OH = _build_tables(H, W)
+    PERMS = _build_symmetry_perms(H, W, MT)
+    A = H * W * MT
+    NUM_BLACK = int((INIT == BLACK).sum())
+    NUM_WHITE = int((INIT == WHITE).sum())
+
+    between_j = jnp.asarray(BETWEEN)
+    dest_oh_j = jnp.asarray(DEST_OH)
+    dest_r_j = jnp.asarray(DEST_R.reshape(-1))
+    dest_c_j = jnp.asarray(DEST_C.reshape(-1))
+    perms_j = jnp.asarray(PERMS)
+
+    def _is_king(v):
+        return (v == KING) | (v == KING_ON_THRONE) | (v == KING_ON_ESCAPE)
+
+    def _team1(v):  # white + king
+        return (v == WHITE) | _is_king(v)
+
+    def _valid_from_masks(board, movers_nonking, movers_king):
+        """Flat bool[A] of legal moves for given mover masks."""
+        pass_nk = (board == EMPTY) | (
+            (board == THRONE) if move_over_throne else (board == EMPTY)
+        )
+        pass_k = pass_nk | (board == ESCAPE)
+        land_nk = board == EMPTY
+        land_k = land_nk | (board == ESCAPE) | (
+            (board == THRONE) if king_can_enter_throne else (board == EMPTY)
+        )
+
+        def ok(pass_mask, land_mask):
+            obstacles = (~pass_mask).astype(jnp.float32).reshape(-1)
+            blocked = between_j @ obstacles  # [A] count of blockers between
+            landable = dest_oh_j @ land_mask.astype(jnp.float32).reshape(-1)
+            return (blocked < 0.5) & (landable > 0.5)
+
+        ok_nk = ok(pass_nk, land_nk)
+        ok_k = ok(pass_k, land_k)
+        src_nk = jnp.repeat(movers_nonking.reshape(-1), MT)
+        src_k = jnp.repeat(movers_king.reshape(-1), MT)
+        return (src_nk & ok_nk) | (src_k & ok_k)
+
+    def _team_has_moves(board, soldier_value):
+        """Any legal move among pieces of exactly ``soldier_value``
+        (cengine.pyx:164-167 checks by exact piece type)."""
+        movers = board == soldier_value
+        none = jnp.zeros_like(movers)
+        return jnp.any(_valid_from_masks(board, movers, none))
+
+    def _king_surrounded(board):
+        """4-side king capture (cengine.pyx:154-161): every in-bounds
+        neighbor of the king is a black soldier / throne / escape."""
+        hostile = (board == BLACK) | (board == THRONE) | (board == ESCAPE)
+        # Pad with hostile so out-of-bounds neighbors are vacuously true.
+        hp = jnp.pad(hostile, 1, constant_values=True)
+        all_hostile = (
+            hp[:-2, 1:-1] & hp[2:, 1:-1] & hp[1:-1, :-2] & hp[1:-1, 2:]
+        )
+        king = _is_king(board)
+        return jnp.any(king & all_hostile)
+
+    def _dilate(m):
+        mp = jnp.pad(m, 1, constant_values=False)
+        return mp[:-2, 1:-1] | mp[2:, 1:-1] | mp[1:-1, :-2] | mp[1:-1, 2:]
+
+    def _flood(seed, region):
+        """Grow ``seed`` through 4-connected ``region`` to a fixpoint."""
+
+        def cond(carry):
+            _, changed = carry
+            return changed
+
+        def body(carry):
+            reach, _ = carry
+            grown = region & (reach | _dilate(reach))
+            return grown, jnp.any(grown != reach)
+
+        reach, _ = jax.lax.while_loop(cond, body, (seed & region,
+                                                   jnp.bool_(True)))
+        return reach
+
+    def _surround_capture(board, mover_is_team1, dest_mask):
+        """Zero-liberty enemy-group capture (cengine.pyx:207-247).
+
+        Returns (new_board, king_captured_by_surround). Liberties are empty
+        *normal* tiles; throne/escape tiles and board edges block. Like the
+        reference, only groups touching the moved piece are captured
+        (cengine.pyx:229-231 starts from the mover's enemy neighbors).
+        """
+        enemy = jnp.where(mover_is_team1, board == BLACK, _team1(board))
+        liberty = board == EMPTY
+        reach = _flood(enemy & _dilate(liberty), enemy)
+        zero_liberty = enemy & ~reach
+        captured = _flood(zero_liberty & _dilate(dest_mask), zero_liberty)
+        king_taken = jnp.any(captured & _is_king(board))
+        # Remove captured non-king pieces; a captured king stays on the board
+        # with the flag set (cengine.pyx:242-245).
+        remove = captured & ~_is_king(board)
+        new_board = jnp.where(remove, jnp.int8(EMPTY), board)
+        return new_board, king_taken
+
+    class Tafl(Env):
+        NAME = name
+        NUM_PLAYERS = 2
+        ACTION_SIZE = A
+        OBS_SHAPE = (5, H, W)
+        MAX_TURNS = draw_move_count
+        HAS_DRAW = True
+        NUM_SYMMETRIES = 8
+        BOARD_SHAPE = (H, W)
+        MOVE_TYPES = MT
+
+        State = TaflState
+
+        @staticmethod
+        def init() -> TaflState:
+            return TaflState(
+                board=jnp.asarray(INIT),
+                player=jnp.int32(0),
+                turns=jnp.int32(0),
+                last_action=jnp.int32(-1),
+                king_captured=jnp.bool_(False),
+            )
+
+        @staticmethod
+        def step(state: TaflState, action) -> TaflState:
+            action = jnp.asarray(action, jnp.int32)
+            board = state.board
+            cell = action // MT
+            r, c = cell // W, cell % W
+            r2 = dest_r_j[action]
+            c2 = dest_c_j[action]
+
+            src_val = board[r, c]
+            piece = jnp.where(_is_king(src_val), jnp.int8(KING),
+                              src_val.astype(jnp.int8))
+            src_left = jnp.where(
+                src_val == KING_ON_THRONE, jnp.int8(THRONE),
+                jnp.where(src_val == KING_ON_ESCAPE, jnp.int8(ESCAPE),
+                          jnp.int8(EMPTY)),
+            )
+            board = board.at[r, c].set(src_left)
+            dst_tile = board[r2, c2]
+            landed = jnp.where(
+                (piece == KING) & (dst_tile == THRONE), jnp.int8(KING_ON_THRONE),
+                jnp.where((piece == KING) & (dst_tile == ESCAPE),
+                          jnp.int8(KING_ON_ESCAPE), piece),
+            )
+            board = board.at[r2, c2].set(landed)
+
+            # --- custodial capture (cengine.pyx:174-199) -------------------
+            mover_team1 = _team1(landed) | (piece == KING)
+            enemy_soldier = jnp.where(mover_team1, jnp.int8(BLACK),
+                                      jnp.int8(WHITE))
+            king_captured = state.king_captured
+            for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                er, ec = r2 + dr, c2 + dc
+                fr, fc = r2 + 2 * dr, c2 + 2 * dc
+                e_in = (0 <= er) & (er < H) & (0 <= ec) & (ec < W)
+                f_in = (0 <= fr) & (fr < H) & (0 <= fc) & (fc < W)
+                ev = board[jnp.clip(er, 0, H - 1), jnp.clip(ec, 0, W - 1)]
+                fv = board[jnp.clip(fr, 0, H - 1), jnp.clip(fc, 0, W - 1)]
+                friendly = jnp.where(
+                    mover_team1, _team1(fv), fv == BLACK
+                ) | (fv == THRONE) | (fv == ESCAPE)
+                # Two-sided king custodial capture: only by black movers
+                # (deviation from cengine.pyx:189 — see module docstring).
+                take_king = (
+                    bool(king_two_sided_capture)
+                    & ~mover_team1
+                    & (ev == KING)
+                )
+                plain = ev == enemy_soldier
+                do = e_in & f_in & friendly & (plain | take_king)
+                board = jnp.where(
+                    do & plain,
+                    board.at[jnp.clip(er, 0, H - 1),
+                             jnp.clip(ec, 0, W - 1)].set(jnp.int8(EMPTY)),
+                    board,
+                )
+                king_captured = king_captured | (do & take_king)
+
+            # --- surround capture (cengine.pyx:228-247) --------------------
+            dest_mask = jnp.zeros((H, W), jnp.bool_).at[r2, c2].set(True)
+            board, king_surr = _surround_capture(board, mover_team1, dest_mask)
+            king_captured = king_captured | king_surr
+
+            return TaflState(
+                board=board,
+                player=(state.player + 1) % 2,
+                turns=state.turns + 1,
+                last_action=action,
+                king_captured=king_captured,
+            )
+
+        @staticmethod
+        def valid_moves(state: TaflState) -> jnp.ndarray:
+            board = state.board
+            is_black = state.player == 0
+            movers_nk = jnp.where(is_black, board == BLACK, board == WHITE)
+            movers_k = jnp.where(is_black, jnp.zeros((H, W), jnp.bool_),
+                                 _is_king(board))
+            return _valid_from_masks(board, movers_nk, movers_k)
+
+        @staticmethod
+        def win_state(state: TaflState) -> jnp.ndarray:
+            board = state.board
+            # Draw-move cap first (fastafl.pyx:193-197).
+            draw = state.turns >= draw_move_count
+
+            king_escaped = jnp.any(board == KING_ON_ESCAPE)
+            black_stuck = ~_team_has_moves(board, BLACK)
+            white_wins = king_escaped | black_stuck
+
+            if king_two_sided_capture:
+                king_taken = state.king_captured
+            else:
+                king_taken = state.king_captured | _king_surrounded(board)
+            white_stuck = ~_team_has_moves(board, WHITE)
+            black_wins = (king_taken | white_stuck) & ~white_wins
+
+            result = jnp.stack([
+                black_wins & ~draw,
+                white_wins & ~draw,
+                draw,
+            ]).astype(jnp.float32)
+            return result
+
+        @staticmethod
+        def observation(state: TaflState) -> jnp.ndarray:
+            """5 planes: black, white soldiers, king, turn colour, turn
+            number (fastafl.pyx:84-99)."""
+            board = state.board
+            black = (board == BLACK).astype(jnp.float32)
+            white = (board == WHITE).astype(jnp.float32)
+            king = _is_king(board).astype(jnp.float32)
+            colour = jnp.full((H, W), state.player, jnp.float32)
+            turn = jnp.full((H, W), state.turns / draw_move_count, jnp.float32)
+            return jnp.stack([black, white, king, colour, turn])
+
+        @classmethod
+        def symmetries(cls, obs: jnp.ndarray, pi: jnp.ndarray):
+            obs_list, pi_list = [], []
+            for rot in range(4):
+                for flip in (False, True):
+                    o = jnp.rot90(obs, rot, axes=(1, 2))
+                    if flip:
+                        o = o[:, :, ::-1]
+                    obs_list.append(o)
+                    pi_list.append(pi[perms_j[rot * 2 + int(flip)]])
+            return jnp.stack(obs_list), jnp.stack(pi_list)
+
+        @staticmethod
+        def crude_value(state: TaflState) -> jnp.ndarray:
+            """Heuristic value, 1 good for black (fastafl.pyx:258-268)."""
+            result = Tafl.win_state(state)
+            white = jnp.sum(state.board == WHITE).astype(jnp.float32)
+            black = jnp.sum(state.board == BLACK).astype(jnp.float32)
+            sign = jnp.where(state.player == 0, 1.0, -1.0)
+            denom = 100.0 + jnp.where(state.player == 0, NUM_BLACK, NUM_WHITE)
+            return 0.5 + (
+                sign * (-result[2] * 10.0 - state.turns / draw_move_count)
+                + black - white + 100.0 * (result[0] - result[1])
+            ) / denom
+
+        @classmethod
+        def display(cls, state: TaflState) -> str:
+            chars = {0: ".", 1: "w", 2: "b", 3: "K", 4: "+", 5: "x",
+                     7: "K", 8: "K"}
+            board = np.asarray(state.board)
+            return "\n".join(
+                " ".join(chars[int(v)] for v in row) for row in board
+            )
+
+        @staticmethod
+        def decode_action(action: int):
+            """action → ((r, c), (r2, c2)) for display/tests."""
+            cell, mt = divmod(int(action), MT)
+            r, c = divmod(cell, W)
+            return (r, c), (int(DEST_R[r, c, mt]), int(DEST_C[r, c, mt]))
+
+        @staticmethod
+        def encode_action(r: int, c: int, r2: int, c2: int) -> int:
+            if c == c2:
+                mt = r2 if r2 < r else r2 - 1
+            else:
+                mt = (H - 1) + (c2 if c2 < c else c2 - 1)
+            return (c + r * W) * MT + mt
+
+    Tafl.__name__ = name.capitalize()
+    return Tafl
+
+
+Brandubh = make_tafl_env("brandubh", BRANDUBH_BOARD,
+                         king_two_sided_capture=True, draw_move_count=100)
+Hnefatafl = make_tafl_env("hnefatafl", HNEFATAFL_BOARD,
+                          king_two_sided_capture=False, draw_move_count=512)
+
+Game = Hnefatafl

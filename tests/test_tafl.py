@@ -1,0 +1,305 @@
+"""Tafl rules tests — the reference ships zero tests for these rules
+(SURVEY.md §4); validated here against a straight-line Python mirror of the
+cengine semantics plus hand-built scenarios."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_general_tpu.envs.tafl import (
+    BLACK,
+    BRANDUBH_BOARD,
+    Brandubh,
+    EMPTY,
+    ESCAPE,
+    HNEFATAFL_BOARD,
+    Hnefatafl,
+    KING,
+    KING_ON_ESCAPE,
+    KING_ON_THRONE,
+    THRONE,
+    WHITE,
+    _parse_board,
+)
+
+
+def state_from(env, board, player=0, turns=0, king_captured=False):
+    s = env.init()
+    return s.replace(
+        board=jnp.asarray(np.asarray(board, np.int8)),
+        player=jnp.int32(player),
+        turns=jnp.int32(turns),
+        king_captured=jnp.bool_(king_captured),
+    )
+
+
+def python_legal_moves(board, player, env):
+    """Mirror of cengine.pyx:109-132 (move_over_throne=True,
+    king_can_enter_throne=False)."""
+    H, W = board.shape
+    king_vals = (KING, KING_ON_THRONE, KING_ON_ESCAPE)
+    moves = set()
+    if player == 0:
+        sources = [(r, c) for r in range(H) for c in range(W)
+                   if board[r, c] == BLACK]
+    else:
+        sources = [(r, c) for r in range(H) for c in range(W)
+                   if board[r, c] == WHITE or board[r, c] in king_vals]
+    for (r, c) in sources:
+        is_king = board[r, c] in king_vals
+        for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+            rr, cc = r + dr, c + dc
+            while 0 <= rr < H and 0 <= cc < W:
+                v = board[rr, cc]
+                if v == THRONE:
+                    pass  # slide over, can't stop (king_can_enter=False)
+                elif v == EMPTY:
+                    moves.add(env.encode_action(r, c, rr, cc))
+                elif v == ESCAPE and is_king:
+                    moves.add(env.encode_action(r, c, rr, cc))
+                elif v == ESCAPE and not is_king:
+                    break
+                else:
+                    break
+                rr += dr
+                cc += dc
+    return moves
+
+
+class TestBoards:
+    def test_brandubh_initial(self):
+        b = _parse_board(BRANDUBH_BOARD)
+        assert b.shape == (7, 7)
+        assert (b == BLACK).sum() == 8
+        assert (b == WHITE).sum() == 4
+        assert b[3, 3] == KING_ON_THRONE
+        assert (b == ESCAPE).sum() == 4
+
+    def test_hnefatafl_initial(self):
+        b = _parse_board(HNEFATAFL_BOARD)
+        assert b.shape == (11, 11)
+        assert (b == BLACK).sum() == 24
+        assert (b == WHITE).sum() == 12
+        assert b[5, 5] == KING_ON_THRONE
+
+
+@pytest.mark.parametrize("env", [Brandubh, Hnefatafl])
+class TestLegalMoves:
+    def test_initial_matches_python_mirror(self, env):
+        s = env.init()
+        got = set(np.flatnonzero(np.asarray(env.valid_moves(s))))
+        want = python_legal_moves(np.asarray(s.board), 0, env)
+        assert got == want
+
+    def test_after_some_moves_matches_mirror(self, env):
+        rng = np.random.default_rng(0)
+        s = env.init()
+        for _ in range(6):
+            valids = np.flatnonzero(np.asarray(env.valid_moves(s)))
+            want = python_legal_moves(np.asarray(s.board), int(s.player), env)
+            assert set(valids) == want
+            if len(valids) == 0 or np.asarray(env.win_state(s)).any():
+                break
+            s = env.step(s, int(rng.choice(valids)))
+
+    def test_encode_decode_roundtrip(self, env):
+        H, W = env.BOARD_SHAPE
+        for (r, c, r2, c2) in [(0, 0, 0, 3), (0, 0, 4, 0), (3, 3, 3, 0),
+                               (H - 1, W - 1, 0, W - 1)]:
+            a = env.encode_action(r, c, r2, c2)
+            assert env.decode_action(a) == ((r, c), (r2, c2))
+
+
+class TestCaptures:
+    def test_custodial_capture(self):
+        # Black sandwiches a white soldier: b . w b → black moves into the gap.
+        b = np.zeros((7, 7), np.int8)
+        b[_parse_board(BRANDUBH_BOARD) == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        b[2, 2] = BLACK
+        b[2, 4] = WHITE
+        b[2, 5] = BLACK
+        b[5, 5] = KING  # king far away
+        s = state_from(Brandubh, b, player=0)
+        a = Brandubh.encode_action(2, 2, 2, 3)
+        s2 = Brandubh.step(s, a)
+        assert np.asarray(s2.board)[2, 4] == EMPTY, "white soldier captured"
+
+    def test_capture_against_throne(self):
+        # Empty throne acts as a hostile anvil (KING_CAPTURE includes tiles).
+        b = np.zeros((7, 7), np.int8)
+        b[_parse_board(BRANDUBH_BOARD) == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        b[3, 2] = WHITE  # next to throne
+        b[5, 1] = BLACK
+        b[6, 3] = KING
+        s = state_from(Brandubh, b, player=0)
+        a = Brandubh.encode_action(5, 1, 3, 1)  # black lands beside white
+        s2 = Brandubh.step(s, a)
+        assert np.asarray(s2.board)[3, 2] == EMPTY
+
+    def test_no_capture_without_anvil(self):
+        b = np.zeros((7, 7), np.int8)
+        b[_parse_board(BRANDUBH_BOARD) == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        b[2, 2] = BLACK
+        b[2, 4] = WHITE
+        b[6, 3] = KING
+        s = state_from(Brandubh, b, player=0)
+        s2 = Brandubh.step(s, Brandubh.encode_action(2, 2, 2, 3))
+        assert np.asarray(s2.board)[2, 4] == WHITE
+
+    def test_two_sided_king_capture_brandubh(self):
+        b = np.zeros((7, 7), np.int8)
+        b[_parse_board(BRANDUBH_BOARD) == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        b[1, 2] = KING
+        b[1, 1] = BLACK
+        b[1, 4] = BLACK
+        b[5, 5] = WHITE
+        s = state_from(Brandubh, b, player=0)
+        s2 = Brandubh.step(s, Brandubh.encode_action(1, 4, 1, 3))
+        assert bool(s2.king_captured)
+        w = np.asarray(Brandubh.win_state(s2))
+        np.testing.assert_array_equal(w, [1, 0, 0])  # black (player 0) wins
+
+    def test_hnefatafl_king_needs_four_sides(self):
+        b = np.zeros((11, 11), np.int8)
+        ref = _parse_board(HNEFATAFL_BOARD)
+        b[ref == ESCAPE] = ESCAPE
+        b[5, 5] = THRONE
+        b[4, 4] = KING
+        b[3, 4] = BLACK
+        b[4, 3] = BLACK
+        b[4, 5] = BLACK
+        b[6, 4] = BLACK  # will move up to (5,4) to complete the box
+        b[9, 9] = WHITE
+        s = state_from(Hnefatafl, b, player=0)
+        # Two-sided sandwich alone must NOT capture in hnefatafl.
+        assert not np.asarray(Hnefatafl.win_state(s)).any()
+        s2 = Hnefatafl.step(s, Hnefatafl.encode_action(6, 4, 5, 4))
+        w = np.asarray(Hnefatafl.win_state(s2))
+        np.testing.assert_array_equal(w, [1, 0, 0])
+
+    def test_surround_group_capture(self):
+        # A white group with no empty liberties, sealed by black's move.
+        b = np.zeros((7, 7), np.int8)
+        ref = _parse_board(BRANDUBH_BOARD)
+        b[ref == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        # White pair at (0,1),(0,2) on the top edge; black at (0,3), (1,1),
+        # (1,2); black moves to (0,0)... (0,0) is an escape corner — use row 6
+        # interior instead: white at (5,1),(5,2); black (5,3),(4,1),(4,2),
+        # black moves (6,... ) hmm (6,0) edge: group liberties: (5,0)?
+        b[5, 1] = WHITE
+        b[5, 2] = WHITE
+        b[5, 3] = BLACK
+        b[4, 1] = BLACK
+        b[4, 2] = BLACK
+        b[6, 1] = BLACK
+        b[6, 2] = BLACK
+        b[2, 5] = BLACK  # piece that will seal (5,0)
+        b[1, 1] = KING
+        s = state_from(Brandubh, b, player=0)
+        # Liberty of the white group: (5,0) only. Seal it.
+        a = Brandubh.encode_action(2, 5, 2, 0)  # wrong column — recompute
+        # Move a black rook down column 0 to (5,0):
+        b[2, 5] = EMPTY
+        b[2, 0] = BLACK
+        s = state_from(Brandubh, b, player=0)
+        a = Brandubh.encode_action(2, 0, 5, 0)
+        s2 = Brandubh.step(s, a)
+        board2 = np.asarray(s2.board)
+        assert board2[5, 1] == EMPTY and board2[5, 2] == EMPTY, \
+            "enclosed white group captured"
+
+    def test_not_captured_with_liberty(self):
+        b = np.zeros((7, 7), np.int8)
+        ref = _parse_board(BRANDUBH_BOARD)
+        b[ref == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        b[5, 1] = WHITE
+        b[5, 2] = WHITE
+        b[5, 3] = BLACK
+        b[4, 1] = BLACK
+        b[4, 2] = BLACK
+        b[6, 1] = BLACK
+        # (6,2) left empty → group keeps a liberty after the seal at (5,0)
+        b[2, 0] = BLACK
+        b[1, 5] = KING
+        s = state_from(Brandubh, b, player=0)
+        s2 = Brandubh.step(s, Brandubh.encode_action(2, 0, 5, 0))
+        board2 = np.asarray(s2.board)
+        assert board2[5, 1] == WHITE and board2[5, 2] == WHITE
+
+
+class TestWinStates:
+    def test_king_escape(self):
+        b = np.zeros((7, 7), np.int8)
+        ref = _parse_board(BRANDUBH_BOARD)
+        b[ref == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        b[0, 3] = KING
+        b[5, 5] = BLACK
+        s = state_from(Brandubh, b, player=1)
+        s2 = Brandubh.step(s, Brandubh.encode_action(0, 3, 0, 6))
+        assert np.asarray(s2.board)[0, 6] == KING_ON_ESCAPE
+        w = np.asarray(Brandubh.win_state(s2))
+        np.testing.assert_array_equal(w, [0, 1, 0])  # white (player 1) wins
+
+    def test_draw_at_move_cap(self):
+        s = Brandubh.init()
+        s = s.replace(turns=jnp.int32(100))
+        w = np.asarray(Brandubh.win_state(s))
+        np.testing.assert_array_equal(w, [0, 0, 1])
+
+    def test_initial_not_terminal(self):
+        for env in (Brandubh, Hnefatafl):
+            assert not np.asarray(env.win_state(env.init())).any()
+
+    def test_white_soldiers_stuck_means_black_win(self):
+        # Reference quirk: black wins when white's *soldiers* can't move,
+        # even with a mobile king (cengine.pyx:166).
+        b = np.zeros((7, 7), np.int8)
+        ref = _parse_board(BRANDUBH_BOARD)
+        b[ref == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        b[2, 2] = KING  # mobile king
+        b[5, 5] = BLACK  # black has moves
+        # white soldiers: none at all → "no legal soldier moves"
+        s = state_from(Brandubh, b, player=1)
+        w = np.asarray(Brandubh.win_state(s))
+        np.testing.assert_array_equal(w, [1, 0, 0])
+
+
+class TestSymmetries:
+    @pytest.mark.parametrize("env", [Brandubh])
+    def test_symmetry_semantic_property(self, env):
+        """For every dihedral transform: transforming (obs, pi) must keep
+        pi's mass on moves that are legal in the transformed position."""
+        rng = np.random.default_rng(1)
+        s = env.init()
+        for _ in range(3):
+            valids = np.flatnonzero(np.asarray(env.valid_moves(s)))
+            s = env.step(s, int(rng.choice(valids)))
+        obs = env.observation(s)
+        pi = np.asarray(env.valid_moves(s), np.float32)
+        pi = pi / pi.sum()
+        obs_k, pi_k = env.symmetries(jnp.asarray(obs), jnp.asarray(pi))
+        obs_k, pi_k = np.asarray(obs_k), np.asarray(pi_k)
+        assert obs_k.shape[0] == 8 and pi_k.shape[0] == 8
+        np.testing.assert_allclose(pi_k.sum(-1), 1.0, atol=1e-5)
+        board = np.asarray(s.board)
+        for k in range(8):
+            rot, flip = divmod(k, 2)
+            tb = np.rot90(board, rot)
+            if flip:
+                tb = np.fliplr(tb)
+            ts = state_from(env, tb, player=int(s.player), turns=int(s.turns))
+            tvalids = np.asarray(env.valid_moves(ts))
+            # Transformed policy must be supported on transformed-legal moves.
+            assert pi_k[k][~tvalids].sum() < 1e-6, f"transform {k} leaked mass"
+            # And the board planes must match the transformed observation.
+            np.testing.assert_array_equal(
+                np.asarray(obs_k[k][0]), (tb == BLACK).astype(np.float32)
+            )
