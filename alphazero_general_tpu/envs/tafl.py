@@ -25,9 +25,8 @@ Documented deviations from the reference engine:
 * cengine.pyx:189 lets a *white* move custodially capture white's own king
   when ``king_two_sided_capture`` is set (the do_capture test ignores the
   mover's team). Here only black movers capture the king — the sane rule.
-* cengine.pyx:164-167 declares black the winner when white's *soldiers* have
-  no legal moves even if the king can still move (piece_type filters exact
-  value 1). Replicated as-is for parity.
+(The team stuck-checks go through cengine's _get_team override, so team 1's
+check includes the king's moves — cengine.pyx:163-167, 277-284.)
 """
 
 from __future__ import annotations
@@ -207,12 +206,17 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
         src_k = jnp.repeat(movers_king.reshape(-1), MT)
         return (src_nk & ok_nk) | (src_k & ok_k)
 
-    def _team_has_moves(board, soldier_value):
-        """Any legal move among pieces of exactly ``soldier_value``
-        (cengine.pyx:164-167 checks by exact piece type)."""
-        movers = board == soldier_value
-        none = jnp.zeros_like(movers)
-        return jnp.any(_valid_from_masks(board, movers, none))
+    def _team_has_moves(board, team1: bool):
+        """Any legal move for a whole team (cengine.pyx:163-167 via
+        has_legal_moves → _get_team, cengine.pyx:277-284: team 1 includes
+        the king)."""
+        if team1:
+            movers_nk = board == WHITE
+            movers_k = _is_king(board)
+        else:
+            movers_nk = board == BLACK
+            movers_k = jnp.zeros_like(movers_nk)
+        return jnp.any(_valid_from_masks(board, movers_nk, movers_k))
 
     def _king_surrounded(board):
         """4-side king capture (cengine.pyx:154-161): every in-bounds
@@ -376,14 +380,14 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
             draw = state.turns >= draw_move_count
 
             king_escaped = jnp.any(board == KING_ON_ESCAPE)
-            black_stuck = ~_team_has_moves(board, BLACK)
+            black_stuck = ~_team_has_moves(board, team1=False)
             white_wins = king_escaped | black_stuck
 
             if king_two_sided_capture:
                 king_taken = state.king_captured
             else:
                 king_taken = state.king_captured | _king_surrounded(board)
-            white_stuck = ~_team_has_moves(board, WHITE)
+            white_stuck = ~_team_has_moves(board, team1=True)
             black_wins = (king_taken | white_stuck) & ~white_wins
 
             result = jnp.stack([

@@ -257,16 +257,28 @@ class TestWinStates:
         for env in (Brandubh, Hnefatafl):
             assert not np.asarray(env.win_state(env.init())).any()
 
-    def test_white_soldiers_stuck_means_black_win(self):
-        # Reference quirk: black wins when white's *soldiers* can't move,
-        # even with a mobile king (cengine.pyx:166).
+    def test_lone_mobile_king_not_a_loss(self):
+        # Team-1 stuck check includes the king's own moves
+        # (cengine.pyx:163-167 via _get_team, 277-284).
         b = np.zeros((7, 7), np.int8)
         ref = _parse_board(BRANDUBH_BOARD)
         b[ref == ESCAPE] = ESCAPE
         b[3, 3] = THRONE
-        b[2, 2] = KING  # mobile king
+        b[2, 2] = KING  # mobile king, no white soldiers
         b[5, 5] = BLACK  # black has moves
-        # white soldiers: none at all → "no legal soldier moves"
+        s = state_from(Brandubh, b, player=1)
+        assert not np.asarray(Brandubh.win_state(s)).any()
+
+    def test_white_fully_stuck_means_black_win(self):
+        # King boxed in (no moves), no white soldiers → black wins.
+        b = np.zeros((7, 7), np.int8)
+        ref = _parse_board(BRANDUBH_BOARD)
+        b[ref == ESCAPE] = ESCAPE
+        b[3, 3] = THRONE
+        b[0, 2] = KING
+        b[0, 1] = BLACK
+        b[0, 3] = BLACK
+        b[1, 2] = BLACK
         s = state_from(Brandubh, b, player=1)
         w = np.asarray(Brandubh.win_state(s))
         np.testing.assert_array_equal(w, [1, 0, 0])
