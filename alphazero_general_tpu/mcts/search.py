@@ -29,7 +29,8 @@ def init_batched_trees(env, states, capacity: int, value_size: int):
 
 
 def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
-                  rng: jnp.ndarray, add_root_noise=None, add_root_temp=None):
+                  rng: jnp.ndarray, add_root_noise=None, add_root_temp=None,
+                  root_adjust: bool = True):
     """One simulation round for every game in the batch."""
     B = trees.n.shape[0]
     rng_find, rng_noise = jax.random.split(rng)
@@ -42,7 +43,8 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
 
     trees = jax.vmap(
         lambda t, v, p, r: T.process_results(
-            t, v, p, spec, r, add_root_noise, add_root_temp
+            t, v, p, spec, r, add_root_noise, add_root_temp,
+            root_adjust=root_adjust,
         )
     )(trees, value, pi, jax.random.split(rng_noise, B))
     return trees
@@ -52,16 +54,26 @@ def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
            rng: jnp.ndarray, add_root_noise=None, add_root_temp=None):
     """Run ``sims`` simulation rounds (reference: MCTS.pyx:165-173).
 
-    ``sims`` must be static (scan length).
+    ``sims`` must be static (scan length). With a fresh tree per move the
+    root can only be the leaf on the first simulation, so only that one
+    carries the root-noise/temperature trace (MCTS.pyx:247-256).
     """
+    rng_first, rng_rest = jax.random.split(rng)
+    trees = simulate_step(
+        env, trees, spec, eval_fn, rng_first, add_root_noise, add_root_temp,
+        root_adjust=True,
+    )
+    if sims <= 1:
+        return trees
 
     def body(trees, r):
         trees = simulate_step(
-            env, trees, spec, eval_fn, r, add_root_noise, add_root_temp
+            env, trees, spec, eval_fn, r, add_root_noise, add_root_temp,
+            root_adjust=False,
         )
         return trees, None
 
-    trees, _ = jax.lax.scan(body, trees, jax.random.split(rng, sims))
+    trees, _ = jax.lax.scan(body, trees, jax.random.split(rng_rest, sims - 1))
     return trees
 
 

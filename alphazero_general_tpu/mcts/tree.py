@@ -95,7 +95,12 @@ class Tree:
 
     @property
     def capacity(self) -> int:
-        return self.parent.shape[0]
+        """Usable node slots (one extra dummy write-sink row exists)."""
+        return self.parent.shape[0] - 1
+
+    @property
+    def dummy(self) -> int:
+        return self.parent.shape[0] - 1
 
     @property
     def action_size(self) -> int:
@@ -105,11 +110,17 @@ class Tree:
 def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
     """Create an empty tree rooted at ``root_state``.
 
-    Replaces MCTS.reset / fresh-MCTS-per-game (MCTS.pyx:154-160).
+    Replaces MCTS.reset / fresh-MCTS-per-game (MCTS.pyx:154-160). One extra
+    row beyond ``capacity`` is allocated as a write sink (the "dummy slot"):
+    conditional node writes always execute as single-row scatters targeting
+    either a real slot or the sink, which keeps every tree array out of
+    vmapped cond/select paths (a full-tree select per while-loop iteration is
+    what makes the naive formulation memory-bound).
     """
     A = env.ACTION_SIZE
+    rows = capacity + 1  # last row is the dummy write sink
     node_state = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((capacity,) + jnp.shape(x), jnp.asarray(x).dtype),
+        lambda x: jnp.zeros((rows,) + jnp.shape(x), jnp.asarray(x).dtype),
         root_state,
     )
     node_state = jax.tree_util.tree_map(
@@ -117,16 +128,16 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
     )
     return Tree(
         node_state=node_state,
-        parent=jnp.full((capacity,), UNVISITED, jnp.int32),
-        parent_action=jnp.full((capacity,), UNVISITED, jnp.int32),
-        children=jnp.full((capacity, A), UNVISITED, jnp.int32),
-        valids=jnp.zeros((capacity, A), jnp.bool_),
-        prior=jnp.zeros((capacity, A), jnp.float32),
-        n=jnp.zeros((capacity,), jnp.int32),
-        q=jnp.zeros((capacity,), jnp.float32),
-        v=jnp.zeros((capacity,), jnp.float32),
-        e=jnp.zeros((capacity, value_size), jnp.float32),
-        player=jnp.zeros((capacity,), jnp.int32),
+        parent=jnp.full((rows,), UNVISITED, jnp.int32),
+        parent_action=jnp.full((rows,), UNVISITED, jnp.int32),
+        children=jnp.full((rows, A), UNVISITED, jnp.int32),
+        valids=jnp.zeros((rows, A), jnp.bool_),
+        prior=jnp.zeros((rows, A), jnp.float32),
+        n=jnp.zeros((rows,), jnp.int32),
+        q=jnp.zeros((rows,), jnp.float32),
+        v=jnp.zeros((rows,), jnp.float32),
+        e=jnp.zeros((rows, value_size), jnp.float32),
+        player=jnp.zeros((rows,), jnp.int32),
         next_free=jnp.int32(1),
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -170,69 +181,86 @@ def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
     """Walk from the root to a leaf, allocating at most one node
     (MCTS.pyx:208-228). Returns the tree with ``tree.leaf`` set; the caller
     evaluates the leaf's observation and calls :func:`process_results`.
+
+    Performance shape: the descent loop is **read-only** over the tree with a
+    few-scalar carry (so vmapping it costs scalar selects, not full-tree
+    copies); the single node allocation + expansion happens afterwards as
+    unconditional single-row scatters routed to the dummy sink when inactive.
     """
 
     # One tiebreak draw per walk, hoisted out of the loop body: ties are
     # broken randomly (the reference shuffles children at expansion,
     # MCTS.pyx:78-79) without paying an RNG call per depth step.
     tiebreak = jax.random.uniform(rng, (tree.action_size,)) * 1e-6
+    DUMMY = jnp.int32(tree.dummy)
 
+    root_unexpanded = tree.n[ROOT] == 0
+    root_terminal = jnp.any(tree.e[ROOT] > 0)
+    skip_walk = root_unexpanded | root_terminal
+
+    # ---- read-only descent (carry: node/action/child/depth/done) ----------
     def cond(carry):
-        tree, node, _depth = carry
-        visited = tree.n[node] > 0
-        terminal = jnp.any(tree.e[node] > 0)
-        return visited & ~terminal
+        _node, _action, _child, _depth, done = carry
+        return ~done
 
     def body(carry):
-        tree, node, depth = carry
+        node, _action, _child, depth, _done = carry
         scores = _child_scores(tree, node, spec, tiebreak)
         action = jnp.argmax(scores).astype(jnp.int32)
-
         child = tree.children[node, action]
-        need_alloc = child == UNVISITED
-        slot = jnp.where(need_alloc, tree.next_free, child)
+        exists = child != UNVISITED
+        safe_child = jnp.where(exists, child, 0)
+        # Existing children always have n > 0 (a node is visited by the same
+        # simulation that allocates it), so the walk stops at an unallocated
+        # edge or a terminal child (the reference's n>0 / e.any() conditions,
+        # MCTS.pyx:213).
+        child_terminal = exists & jnp.any(tree.e[safe_child] > 0)
+        done = ~exists | child_terminal
+        next_node = jnp.where(done & ~exists, node, child)
+        return next_node, action, child, depth + 1, done
 
-        def alloc(tree):
-            parent_state = jax.tree_util.tree_map(
-                lambda buf: buf[node], tree.node_state
-            )
-            child_state = env.step(parent_state, action)
-            node_state = jax.tree_util.tree_map(
-                lambda buf, x: buf.at[slot].set(x), tree.node_state, child_state
-            )
-            return tree.replace(
-                node_state=node_state,
-                parent=tree.parent.at[slot].set(node),
-                parent_action=tree.parent_action.at[slot].set(action),
-                children=tree.children.at[node, action].set(slot),
-                next_free=tree.next_free + 1,
-            )
-
-        tree = jax.lax.cond(need_alloc, alloc, lambda t: t, tree)
-        return tree, slot, depth + 1
-
-    tree = tree.replace(depth=jnp.int32(0))
-    tree, leaf, depth = jax.lax.while_loop(
-        cond, body, (tree, ROOT, jnp.int32(0))
+    node, action, child, depth, _ = jax.lax.while_loop(
+        cond, body,
+        (ROOT, jnp.int32(0), jnp.int32(UNVISITED), jnp.int32(0), skip_walk),
     )
+    depth = jnp.where(skip_walk, 0, depth)
+
+    # ---- allocation (masked single-row scatters) ---------------------------
+    need_alloc = (child == UNVISITED) & ~skip_walk
+    slot = jnp.where(need_alloc, tree.next_free, DUMMY)
+    parent_state = jax.tree_util.tree_map(
+        lambda buf: buf[node], tree.node_state
+    )
+    child_state = env.step(parent_state, action)
+    node_state = jax.tree_util.tree_map(
+        lambda buf, x: buf.at[slot].set(x), tree.node_state, child_state
+    )
+    edge_row = jnp.where(need_alloc, node, DUMMY)
+    edge_col = jnp.where(need_alloc, action, 0)
+    tree = tree.replace(
+        node_state=node_state,
+        parent=tree.parent.at[slot].set(node),
+        parent_action=tree.parent_action.at[slot].set(action),
+        children=tree.children.at[edge_row, edge_col].set(slot),
+        next_free=tree.next_free + need_alloc.astype(jnp.int32),
+    )
+
+    leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
 
     # Track max depth for the discount exponent (MCTS.pyx:219-221).
     max_depth = jnp.maximum(tree.max_depth, depth)
     tree = tree.replace(depth=depth, max_depth=max_depth, leaf=leaf)
 
-    # Expand: record player / terminal vector / valid-move mask
-    # (MCTS.pyx:223-226). Priors arrive later in process_results.
-    def expand(tree):
-        leaf_state = jax.tree_util.tree_map(
-            lambda buf: buf[leaf], tree.node_state
-        )
-        return tree.replace(
-            player=tree.player.at[leaf].set(leaf_state.player),
-            e=tree.e.at[leaf].set(env.win_state(leaf_state)),
-            valids=tree.valids.at[leaf].set(env.valid_moves(leaf_state)),
-        )
-
-    tree = jax.lax.cond(tree.n[leaf] == 0, expand, lambda t: t, tree)
+    # ---- expansion: player / terminal vector / valids (MCTS.pyx:223-226) ---
+    leaf_state = jax.tree_util.tree_map(
+        lambda buf: buf[leaf], tree.node_state
+    )
+    expand_row = jnp.where(tree.n[leaf] == 0, leaf, DUMMY)
+    tree = tree.replace(
+        player=tree.player.at[expand_row].set(leaf_state.player),
+        e=tree.e.at[expand_row].set(env.win_state(leaf_state)),
+        valids=tree.valids.at[expand_row].set(env.valid_moves(leaf_state)),
+    )
     return tree
 
 
@@ -244,15 +272,23 @@ def leaf_observation(env, tree: Tree) -> jnp.ndarray:
 def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
                     spec: SearchSpec, rng: jnp.ndarray,
                     add_root_noise: bool | jnp.ndarray = None,
-                    add_root_temp: bool | jnp.ndarray = None) -> Tree:
+                    add_root_temp: bool | jnp.ndarray = None,
+                    root_adjust: bool = True) -> Tree:
     """Install priors at the pending leaf and back the value up the path
     (MCTS.pyx:230-289).
+
+    ``root_adjust=False`` (static) removes the root-temperature/Dirichlet
+    trace entirely — callers use it for every simulation after the root has
+    been expanded (with a fresh tree per move, only the first simulation can
+    have the root as its leaf, MCTS.pyx:247-256). The backup loop carries only
+    the n/q/v columns, so vmapping it never copies the big per-action arrays.
     """
     if add_root_noise is None:
         add_root_noise = spec.add_root_noise
     if add_root_temp is None:
         add_root_temp = spec.add_root_temp
     leaf = tree.leaf
+    DUMMY = jnp.int32(tree.dummy)
     is_terminal = jnp.any(tree.e[leaf] > 0)
     value = jnp.where(is_terminal, tree.e[leaf], value)
 
@@ -264,71 +300,78 @@ def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
                        valids.astype(jnp.float32) /
                        jnp.maximum(jnp.sum(valids), 1))
 
-    is_root = leaf == ROOT
+    if root_adjust:
+        is_root = leaf == ROOT
 
-    def with_root_adjust(p):
-        # Root temperature (MCTS.pyx:247-252).
-        temped = jnp.where(
-            jnp.asarray(add_root_temp),
-            _renorm(jnp.where(valids, p ** (1.0 / spec.root_policy_temp), 0.0)),
-            p,
-        )
-        # Dirichlet noise, alpha = NOISE_ALPHA_RATIO / num_valid
-        # (MCTS.pyx:197-206). Sampled densely and masked to valid moves.
-        num_valid = jnp.maximum(jnp.sum(valids), 1)
-        alpha = NOISE_ALPHA_RATIO / num_valid.astype(jnp.float32)
-        gam = jax.random.gamma(rng, alpha, (p.shape[0],))
-        gam = jnp.where(valids, gam, 0.0)
-        noise = gam / jnp.maximum(jnp.sum(gam), 1e-30)
-        noised = temped * (1 - spec.root_noise_frac) + spec.root_noise_frac * noise
-        noised = jnp.where(valids, noised, 0.0)
-        return jnp.where(jnp.asarray(add_root_noise), noised, temped)
+        def with_root_adjust(p):
+            # Root temperature (MCTS.pyx:247-252).
+            temped = jnp.where(
+                jnp.asarray(add_root_temp),
+                _renorm(jnp.where(valids,
+                                  p ** (1.0 / spec.root_policy_temp), 0.0)),
+                p,
+            )
+            # Dirichlet noise, alpha = NOISE_ALPHA_RATIO / num_valid
+            # (MCTS.pyx:197-206). Sampled densely and masked to valid moves.
+            num_valid = jnp.maximum(jnp.sum(valids), 1)
+            alpha = NOISE_ALPHA_RATIO / num_valid.astype(jnp.float32)
+            gam = jax.random.gamma(rng, alpha, (p.shape[0],))
+            gam = jnp.where(valids, gam, 0.0)
+            noise = gam / jnp.maximum(jnp.sum(gam), 1e-30)
+            noised = (temped * (1 - spec.root_noise_frac)
+                      + spec.root_noise_frac * noise)
+            noised = jnp.where(valids, noised, 0.0)
+            return jnp.where(jnp.asarray(add_root_noise), noised, temped)
 
-    new_prior = jnp.where(is_root, with_root_adjust(masked), masked)
-    prior = jnp.where(
-        is_terminal, tree.prior[leaf], new_prior
-    )
-    tree = tree.replace(prior=tree.prior.at[leaf].set(prior))
+        new_prior = jnp.where(is_root, with_root_adjust(masked), masked)
+    else:
+        new_prior = masked
+    prior_row = jnp.where(is_terminal, DUMMY, leaf)
+    tree = tree.replace(prior=tree.prior.at[prior_row].set(new_prior))
 
-    # ---- backup (MCTS.pyx:260-289) -----------------------------------------
+    # ---- backup (MCTS.pyx:260-289) — small-carry loop ----------------------
+    parent = tree.parent
+    player = tree.player
+    max_depth_f = jnp.maximum(tree.max_depth.astype(jnp.float32), 1.0)
+
     def cond(carry):
-        tree, node, _i = carry
+        _n, _q, _v, node, _i = carry
         return node != ROOT
 
     def body(carry):
-        tree, node, i = carry
-        par = tree.parent[node]
-        val = _get_value(value, tree.player[par], spec)
-        frac = i.astype(jnp.float32) / jnp.maximum(
-            tree.max_depth.astype(jnp.float32), 1.0
-        )
+        n_col, q_col, v_col, node, i = carry
+        par = parent[node]
+        val = _get_value(value, player[par], spec)
+        frac = i.astype(jnp.float32) / max_depth_f
         discount = spec.min_discount ** frac
         discount = jnp.where(val < DRAW_VALUE, 2.0 - discount, discount)
         discount = jnp.where(val == DRAW_VALUE, 1.0, discount)
 
-        n = tree.n[node].astype(jnp.float32)
-        new_q = (tree.q[node] * n + val * discount) / (n + 1.0)
-        own_v = _get_value(value, tree.player[node], spec)
-        new_v = jnp.where(tree.n[node] == 0, own_v, tree.v[node])
-        tree = tree.replace(
-            q=tree.q.at[node].set(new_q),
-            v=tree.v.at[node].set(new_v),
-            n=tree.n.at[node].set(tree.n[node] + 1),
+        n = n_col[node].astype(jnp.float32)
+        new_q = (q_col[node] * n + val * discount) / (n + 1.0)
+        own_v = _get_value(value, player[node], spec)
+        new_v = jnp.where(n_col[node] == 0, own_v, v_col[node])
+        return (
+            n_col.at[node].add(1),
+            q_col.at[node].set(new_q),
+            v_col.at[node].set(new_v),
+            par,
+            i + 1,
         )
-        return tree, par, i + 1
 
-    tree, _, _ = jax.lax.while_loop(cond, body, (tree, leaf, jnp.int32(0)))
+    n_col, q_col, v_col, _, _ = jax.lax.while_loop(
+        cond, body, (tree.n, tree.q, tree.v, leaf, jnp.int32(0))
+    )
     # Root visit increment (MCTS.pyx:289); also set root's own v on first
     # expansion so FPU at the root has a value to reduce from.
     root_v = jnp.where(
-        tree.n[ROOT] == 0, _get_value(value, tree.player[ROOT], spec),
-        tree.v[ROOT],
+        n_col[ROOT] == 0, _get_value(value, player[ROOT], spec), v_col[ROOT]
     )
-    tree = tree.replace(
-        n=tree.n.at[ROOT].add(1),
-        v=tree.v.at[ROOT].set(root_v),
+    return tree.replace(
+        n=n_col.at[ROOT].add(1),
+        q=q_col,
+        v=v_col.at[ROOT].set(root_v),
     )
-    return tree
 
 
 def _renorm(p: jnp.ndarray) -> jnp.ndarray:
