@@ -28,30 +28,86 @@ def init_batched_trees(env, states, capacity: int, value_size: int):
     return jax.vmap(lambda s: T.init_tree(env, s, capacity, value_size))(states)
 
 
+#: VMEM budget gate for the Pallas walk: per-(node, action) arrays must fit
+#: a [N, A, 128] f32 block (ops/descend.py); beyond this, fall back to the
+#: vmapped XLA walk. Large-action envs need the DMA-based kernel (ROADMAP).
+_PALLAS_MAX_NODE_ACTION = 8192
+
+
+def _pick_walk_impl(trees, walk_impl: str) -> str:
+    if walk_impl != "auto":
+        return walk_impl
+    B, N, A = trees.children.shape
+    try:
+        on_tpu = jax.devices()[0].platform != "cpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu and B % 128 == 0 and N * A <= _PALLAS_MAX_NODE_ACTION:
+        return "pallas"
+    return "xla"
+
+
+def _batched_walk(trees, spec, tiebreaks, walk_impl: str):
+    if walk_impl in ("pallas", "pallas_interpret"):
+        from alphazero_general_tpu.ops.descend import descend_batched
+
+        return descend_batched(
+            trees, spec, tiebreaks,
+            interpret=walk_impl == "pallas_interpret",
+        )
+    return jax.vmap(
+        lambda t, tb: T.descend(t, spec, tb)
+    )(trees, tiebreaks)
+
+
 def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
                   rng: jnp.ndarray, add_root_noise=None, add_root_temp=None,
-                  root_adjust: bool = True):
-    """One simulation round for every game in the batch."""
+                  root_adjust: bool = True, walk_impl: str = "auto"):
+    """One simulation round for every game in the batch.
+
+    ``walk_impl``: 'auto' | 'pallas' | 'pallas_interpret' | 'xla' — which
+    implementation performs the PUCT descent (identical semantics).
+    """
     B = trees.n.shape[0]
+    A = trees.children.shape[-1]
     rng_find, rng_noise = jax.random.split(rng)
+    tiebreaks = jax.vmap(
+        lambda k: jax.random.uniform(k, (A,)) * 1e-6
+    )(jax.random.split(rng_find, B))
+
+    walk = _batched_walk(trees, spec, tiebreaks,
+                         _pick_walk_impl(trees, walk_impl))
     trees = jax.vmap(
-        lambda t, r: T.find_leaf(env, t, spec, r)
-    )(trees, jax.random.split(rng_find, B))
+        lambda t, n_, a_, c_, d_, s_: T.apply_walk(env, t, n_, a_, c_, d_, s_)
+    )(trees, *walk)
 
     obs = jax.vmap(lambda t: T.leaf_observation(env, t))(trees)
     pi, value = eval_fn(obs)
 
+    values = jax.vmap(T.resolve_value)(trees, value)
     trees = jax.vmap(
-        lambda t, v, p, r: T.process_results(
-            t, v, p, spec, r, add_root_noise, add_root_temp,
+        lambda t, p, r: T.install_prior(
+            t, p, spec, r, add_root_noise, add_root_temp,
             root_adjust=root_adjust,
         )
-    )(trees, value, pi, jax.random.split(rng_noise, B))
+    )(trees, pi, jax.random.split(rng_noise, B))
+
+    impl = _pick_walk_impl(trees, walk_impl)
+    if impl in ("pallas", "pallas_interpret") and B % 128 == 0:
+        from alphazero_general_tpu.ops.backup import backup_batched
+
+        trees = backup_batched(trees, values, spec,
+                               interpret=impl == "pallas_interpret")
+    else:
+        trees = jax.vmap(
+            lambda t, v: T.backup(t, v, spec)
+        )(trees, values)
     return trees
 
 
 def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
-           rng: jnp.ndarray, add_root_noise=None, add_root_temp=None):
+           rng: jnp.ndarray, add_root_noise=None, add_root_temp=None,
+           walk_impl: str = "auto"):
     """Run ``sims`` simulation rounds (reference: MCTS.pyx:165-173).
 
     ``sims`` must be static (scan length). With a fresh tree per move the
@@ -61,7 +117,7 @@ def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
     rng_first, rng_rest = jax.random.split(rng)
     trees = simulate_step(
         env, trees, spec, eval_fn, rng_first, add_root_noise, add_root_temp,
-        root_adjust=True,
+        root_adjust=True, walk_impl=walk_impl,
     )
     if sims <= 1:
         return trees
@@ -69,7 +125,7 @@ def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
     def body(trees, r):
         trees = simulate_step(
             env, trees, spec, eval_fn, r, add_root_noise, add_root_temp,
-            root_adjust=False,
+            root_adjust=False, walk_impl=walk_impl,
         )
         return trees, None
 

@@ -177,28 +177,19 @@ def _child_scores(tree: Tree, node: jnp.ndarray, spec: SearchSpec,
     return jnp.where(tree.valids[node], scores, -jnp.inf)
 
 
-def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
-    """Walk from the root to a leaf, allocating at most one node
-    (MCTS.pyx:208-228). Returns the tree with ``tree.leaf`` set; the caller
-    evaluates the leaf's observation and calls :func:`process_results`.
+def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
+    """Read-only PUCT walk from the root (MCTS.pyx:208-217) for ONE game.
 
-    Performance shape: the descent loop is **read-only** over the tree with a
-    few-scalar carry (so vmapping it costs scalar selects, not full-tree
-    copies); the single node allocation + expansion happens afterwards as
-    unconditional single-row scatters routed to the dummy sink when inactive.
+    Returns (node, action, child, depth, skip_walk): ``node`` is the leaf's
+    parent when a new edge must be allocated (child == UNVISITED) or the
+    terminal child itself; env-agnostic, few-scalar carry so vmapping costs
+    scalar selects, not tree copies. The batched Pallas twin lives in
+    ops/descend.py.
     """
-
-    # One tiebreak draw per walk, hoisted out of the loop body: ties are
-    # broken randomly (the reference shuffles children at expansion,
-    # MCTS.pyx:78-79) without paying an RNG call per depth step.
-    tiebreak = jax.random.uniform(rng, (tree.action_size,)) * 1e-6
-    DUMMY = jnp.int32(tree.dummy)
-
     root_unexpanded = tree.n[ROOT] == 0
     root_terminal = jnp.any(tree.e[ROOT] > 0)
     skip_walk = root_unexpanded | root_terminal
 
-    # ---- read-only descent (carry: node/action/child/depth/done) ----------
     def cond(carry):
         _node, _action, _child, _depth, done = carry
         return ~done
@@ -224,6 +215,14 @@ def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
         (ROOT, jnp.int32(0), jnp.int32(UNVISITED), jnp.int32(0), skip_walk),
     )
     depth = jnp.where(skip_walk, 0, depth)
+    return node, action, child, depth, skip_walk
+
+
+def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk) -> Tree:
+    """Allocate/expand the walk's leaf (MCTS.pyx:218-228) — the write half of
+    find_leaf, as unconditional single-row scatters routed to the dummy sink
+    when inactive."""
+    DUMMY = jnp.int32(tree.dummy)
 
     # ---- allocation (masked single-row scatters) ---------------------------
     need_alloc = (child == UNVISITED) & ~skip_walk
@@ -264,24 +263,45 @@ def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
     return tree
 
 
+def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
+    """Walk + allocate + expand for ONE game (MCTS.pyx:208-228): the tree is
+    returned with ``tree.leaf`` set; the caller evaluates the leaf observation
+    and calls :func:`process_results`.
+
+    One tiebreak draw per walk, hoisted out of the loop body: ties break
+    randomly (the reference shuffles children at expansion, MCTS.pyx:78-79)
+    without an RNG call per depth step.
+    """
+    tiebreak = jax.random.uniform(rng, (tree.action_size,)) * 1e-6
+    node, action, child, depth, skip_walk = descend(tree, spec, tiebreak)
+    return apply_walk(env, tree, node, action, child, depth, skip_walk)
+
+
 def leaf_observation(env, tree: Tree) -> jnp.ndarray:
     leaf_state = jax.tree_util.tree_map(lambda buf: buf[tree.leaf], tree.node_state)
     return env.observation(leaf_state)
 
 
-def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
-                    spec: SearchSpec, rng: jnp.ndarray,
-                    add_root_noise: bool | jnp.ndarray = None,
-                    add_root_temp: bool | jnp.ndarray = None,
-                    root_adjust: bool = True) -> Tree:
-    """Install priors at the pending leaf and back the value up the path
-    (MCTS.pyx:230-289).
+def resolve_value(tree: Tree, value: jnp.ndarray) -> jnp.ndarray:
+    """Terminal leaves back up their stored result instead of the network
+    value (MCTS.pyx:234-235)."""
+    is_terminal = jnp.any(tree.e[tree.leaf] > 0)
+    return jnp.where(is_terminal, tree.e[tree.leaf], value)
+
+
+def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
+                  rng: jnp.ndarray,
+                  add_root_noise: bool | jnp.ndarray = None,
+                  add_root_temp: bool | jnp.ndarray = None,
+                  root_adjust: bool = True) -> Tree:
+    """Mask/renormalize the policy against the leaf's valid moves and store
+    it, with root temperature/Dirichlet noise when the leaf is the root
+    (MCTS.pyx:236-258).
 
     ``root_adjust=False`` (static) removes the root-temperature/Dirichlet
-    trace entirely — callers use it for every simulation after the root has
-    been expanded (with a fresh tree per move, only the first simulation can
-    have the root as its leaf, MCTS.pyx:247-256). The backup loop carries only
-    the n/q/v columns, so vmapping it never copies the big per-action arrays.
+    trace entirely — callers use it for every simulation after the first
+    (with a fresh tree per move, only the first simulation can have the root
+    as its leaf, MCTS.pyx:247-256).
     """
     if add_root_noise is None:
         add_root_noise = spec.add_root_noise
@@ -290,9 +310,7 @@ def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
     leaf = tree.leaf
     DUMMY = jnp.int32(tree.dummy)
     is_terminal = jnp.any(tree.e[leaf] > 0)
-    value = jnp.where(is_terminal, tree.e[leaf], value)
 
-    # ---- policy installation (non-terminal leaves) --------------------------
     valids = tree.valids[leaf]
     masked = jnp.where(valids, pi, 0.0)
     norm = jnp.sum(masked)
@@ -327,9 +345,16 @@ def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
     else:
         new_prior = masked
     prior_row = jnp.where(is_terminal, DUMMY, leaf)
-    tree = tree.replace(prior=tree.prior.at[prior_row].set(new_prior))
+    return tree.replace(prior=tree.prior.at[prior_row].set(new_prior))
 
-    # ---- backup (MCTS.pyx:260-289) — small-carry loop ----------------------
+
+def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
+    """Back ``value`` (already terminal-resolved) up from ``tree.leaf`` to
+    the root (MCTS.pyx:260-289). The loop carries only the n/q/v columns, so
+    vmapping it never copies the big per-action arrays. The batched Pallas
+    twin lives in ops/backup.py.
+    """
+    leaf = tree.leaf
     parent = tree.parent
     player = tree.player
     max_depth_f = jnp.maximum(tree.max_depth.astype(jnp.float32), 1.0)
@@ -372,6 +397,19 @@ def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
         q=q_col,
         v=v_col.at[ROOT].set(root_v),
     )
+
+
+def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
+                    spec: SearchSpec, rng: jnp.ndarray,
+                    add_root_noise: bool | jnp.ndarray = None,
+                    add_root_temp: bool | jnp.ndarray = None,
+                    root_adjust: bool = True) -> Tree:
+    """Install priors at the pending leaf and back the value up the path
+    (MCTS.pyx:230-289) — prior installation + backup composed."""
+    value = resolve_value(tree, value)
+    tree = install_prior(tree, pi, spec, rng, add_root_noise, add_root_temp,
+                         root_adjust=root_adjust)
+    return backup(tree, value, spec)
 
 
 def _renorm(p: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,199 @@
+"""Batched PUCT descent as a Pallas TPU kernel.
+
+The XLA formulation of the tree walk (mcts/tree.py `descend`, vmapped) pays a
+fixed dispatch/sync cost per `lax.while_loop` iteration — at typical tree
+depths that overhead dominates the whole self-play step (the network forward
+is ~100x cheaper than the walk). This kernel fuses the complete walk for a
+block of games into one program: tree arrays live in VMEM in game-minor
+layout ([N, A, LANES] — games ride the 128-wide lane dimension), per-lane
+dynamic node indexing is expressed as masked reductions over the node axis,
+and the while loop runs entirely on-chip.
+
+Semantics are identical to `descend` (MCTS.pyx:208-217): PUCT with
+FPU-reduction from seen policy, stop at an unallocated edge or terminal
+child, per-game uniform tiebreak.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alphazero_general_tpu.mcts.tree import SearchSpec
+
+LANES = 128
+NEG_INF = -3.0e38
+UNVISITED = -1  # plain int: jnp scalars would be captured consts in the kernel
+
+
+def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
+                    eany_ref, tiebreak_ref, out_ref, *, spec: SearchSpec,
+                    num_nodes: int, num_actions: int):
+    N, A = num_nodes, num_actions
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1, LANES), 0)
+    node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 0)
+
+    n_all = n_ref[...]  # [N, LANES] i32
+    q_all = q_ref[...]
+    eany_all = eany_ref[...]  # [N, LANES] f32 (1.0 = terminal)
+    children_all = children_ref[...]  # [N, A, LANES] i32
+    prior_all = prior_ref[...]
+    valids_all = valids_ref[...]  # f32 0/1
+    tiebreak = tiebreak_ref[...]  # [A, LANES]
+
+    root_n = n_all[0]  # [LANES]
+    root_eany = eany_all[0]
+    # done carried as int32 0/1 — Mosaic mis-lays-out i1 while-loop carries.
+    init_done = ((root_n == 0) | (root_eany > 0.5)).astype(jnp.int32)
+
+    def cond(carry):
+        _node, _action, _child, _depth, done = carry
+        return jnp.logical_not(jnp.all(done > 0))
+
+    def body(carry):
+        node, action, child, depth, done_i = carry  # each [1, LANES] i32
+        done = done_i > 0
+        sel = (node_iota2 == node[None]).astype(jnp.float32)  # [N, A, LANES]
+        row_child = jnp.sum(
+            children_all.astype(jnp.float32) * sel, axis=0
+        ).astype(jnp.int32)  # [A, LANES]
+        row_prior = jnp.sum(prior_all * sel, axis=0)
+        row_valid = jnp.sum(valids_all * sel, axis=0)
+
+        sel1 = (node_iota == node[None]).astype(jnp.float32)  # [N, 1, LANES]
+        cur_n = jnp.sum(n_all[:, None, :].astype(jnp.float32) * sel1, axis=0)
+        cur_v = jnp.sum(v_ref[...][:, None, :] * sel1, axis=0)  # [1, LANES]
+
+        exists = row_child != UNVISITED
+        child_sel = (node_iota2 == row_child[None]).astype(jnp.float32)
+        child_n = jnp.sum(
+            n_all[:, None, :].astype(jnp.float32) * child_sel, axis=0
+        )
+        child_q = jnp.sum(q_all[:, None, :] * child_sel, axis=0)
+        child_eany = jnp.sum(eany_all[:, None, :] * child_sel, axis=0)
+        child_n = jnp.where(exists, child_n, 0.0)
+        child_q = jnp.where(exists, child_q, 0.0)
+
+        # PUCT scores (MCTS.pyx:86-104).
+        seen_policy = jnp.sum(
+            jnp.where(child_n > 0, row_prior, 0.0), axis=0, keepdims=True
+        )
+        fpu_value = cur_v - spec.fpu_reduction * jnp.sqrt(
+            jnp.maximum(seen_policy, 0.0)
+        )
+        sqrt_n = jnp.sqrt(cur_n)
+        value_term = jnp.where(child_n > 0, child_q, fpu_value)
+        explore = spec.cpuct * row_prior * sqrt_n / (1.0 + child_n)
+        scores = value_term + explore + tiebreak
+        scores = jnp.where(row_valid > 0.5, scores, NEG_INF)
+
+        best = jnp.argmax(scores, axis=0).astype(jnp.int32)[None]  # [1, LANES]
+        a_sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0) == best
+        ).astype(jnp.float32)
+        best_child = jnp.sum(
+            row_child.astype(jnp.float32) * a_sel, axis=0, keepdims=True
+        ).astype(jnp.int32)
+        best_exists = best_child != UNVISITED
+        best_terminal = best_exists & (
+            jnp.sum(child_eany * a_sel, axis=0, keepdims=True) > 0.5
+        )
+
+        step_done = jnp.logical_not(best_exists) | best_terminal
+        new_node = jnp.where(
+            step_done & jnp.logical_not(best_exists), node, best_child
+        )
+        node = jnp.where(done, node, new_node)
+        action = jnp.where(done, action, best)
+        child = jnp.where(done, child, best_child)
+        depth = jnp.where(done, depth, depth + 1)
+        done_i = jnp.maximum(done_i, step_done.astype(jnp.int32))
+        return node, action, child, depth, done_i
+
+    zeros = jnp.zeros((1, LANES), jnp.int32)
+    node, action, child, depth, done = jax.lax.while_loop(
+        cond, body,
+        (zeros, zeros, jnp.full((1, LANES), UNVISITED, jnp.int32), zeros,
+         init_done[None]),
+    )
+    out_ref[0, :] = node[0]
+    out_ref[1, :] = action[0]
+    out_ref[2, :] = child[0]
+    out_ref[3, :] = depth[0]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def descend_batched_pallas(children, prior, valids, n, q, v, eany, tiebreak,
+                           spec: SearchSpec, interpret: bool = False):
+    """Batched walk. Inputs are the batched tree arrays (batch-major, as held
+    by the vmapped Tree) — transposed here to game-minor layout:
+
+      children/prior/valids: [B, N, A] → [N, A, B]
+      n/q/v/eany:            [B, N]    → [N, B]
+      tiebreak:              [B, A]    → [A, B]
+
+    Returns (node, action, child, depth) each int32[B].
+    """
+    B, N, A = children.shape
+    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
+
+    ct = jnp.transpose(children, (1, 2, 0))
+    pt = jnp.transpose(prior, (1, 2, 0))
+    vt = jnp.transpose(valids.astype(jnp.float32), (1, 2, 0))
+    nt = jnp.transpose(n, (1, 0))
+    qt = jnp.transpose(q, (1, 0))
+    vvt = jnp.transpose(v, (1, 0))
+    et = jnp.transpose(eany.astype(jnp.float32), (1, 0))
+    tt = jnp.transpose(tiebreak, (1, 0))
+
+    grid = (B // LANES,)
+    kernel = functools.partial(
+        _descend_kernel, spec=spec, num_nodes=N, num_actions=A
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, LANES), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
+        interpret=interpret,
+    )(ct, pt, vt, nt, qt, vvt, et, tt)
+    return out[0], out[1], out[2], out[3]
+
+
+def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
+    """Walk every game's tree; trees is a vmapped Tree pytree [B, ...].
+
+    Returns (node, action, child, depth, skip_walk) like
+    vmap(tree.descend) but as one fused kernel.
+    """
+    eany = jnp.any(trees.e > 0, axis=-1)
+    node, action, child, depth = descend_batched_pallas(
+        trees.children, trees.prior, trees.valids.astype(jnp.float32),
+        trees.n, trees.q, trees.v, eany, tiebreak, spec, interpret=interpret,
+    )
+    skip_walk = (trees.n[:, 0] == 0) | eany[:, 0]
+    depth = jnp.where(skip_walk, 0, depth)
+    return node, action, child, depth, skip_walk

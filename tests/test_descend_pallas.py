@@ -1,0 +1,88 @@
+"""Pallas descent kernel parity: interpret-mode kernel vs the XLA walk must
+produce byte-identical searches (same tiebreak streams)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import alphazero_general_tpu.mcts.search as S
+import alphazero_general_tpu.mcts.tree as T
+from alphazero_general_tpu.envs.connect4 import Connect4
+from alphazero_general_tpu.envs.tictactoe import TicTacToe
+
+SPEC = T.SearchSpec(
+    cpuct=1.25, fpu_reduction=0.2, min_discount=0.8,
+    add_root_noise=False, add_root_temp=False,
+    num_players=2, has_draw=True,
+)
+
+
+def pseudo_net(obs):
+    obs = jnp.asarray(obs, jnp.float32)
+    B = obs.shape[0]
+    flat = obs.reshape(B, -1)
+    A = 7 if flat.shape[1] == 4 * 6 * 7 else 9
+    w = jnp.sin(jnp.arange(flat.shape[1], dtype=jnp.float32)[:, None]
+                * jnp.arange(1, A + 1)[None, :] * 0.37)
+    pi = jax.nn.softmax(flat @ w, axis=-1)
+    vw = jnp.cos(jnp.arange(flat.shape[1], dtype=jnp.float32)[:, None]
+                 * jnp.array([0.11, 0.23, 0.31])[None, :])
+    value = jax.nn.softmax(flat @ vw, axis=-1)
+    return pi, value
+
+
+def batch_states(env, B, rng_seed=0):
+    """Random short openings so trees differ across the batch."""
+    rng = np.random.default_rng(rng_seed)
+    states = []
+    for b in range(B):
+        s = env.init()
+        for _ in range(int(rng.integers(0, 4))):
+            valids = np.flatnonzero(np.asarray(env.valid_moves(s)))
+            s = env.step(s, int(rng.choice(valids)))
+        states.append(s)
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+@pytest.mark.parametrize("env,sims", [(Connect4, 40), (TicTacToe, 30)])
+def test_pallas_matches_xla_search(env, sims):
+    B = 128  # kernel lane width
+    states = batch_states(env, B)
+    rng = jax.random.PRNGKey(0)
+
+    def run(walk_impl):
+        trees = S.init_batched_trees(env, states, sims + 2, 3)
+        return S.search(env, trees, SPEC, pseudo_net, sims, rng,
+                        walk_impl=walk_impl)
+
+    t_x = run("xla")
+    t_p = run("pallas_interpret")
+
+    np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
+    np.testing.assert_array_equal(np.asarray(t_x.children),
+                                  np.asarray(t_p.children))
+    np.testing.assert_allclose(np.asarray(t_x.q), np.asarray(t_p.q),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(T.counts)(t_x)),
+        np.asarray(jax.vmap(T.counts)(t_p)),
+    )
+
+
+def test_walk_outputs_match_directly():
+    """Single-sim walk: (node, action, child, depth) identical per game."""
+    B = 128
+    env = Connect4
+    states = batch_states(env, B, rng_seed=3)
+    trees = S.init_batched_trees(env, states, 34, 3)
+    # Grow trees a bit first (XLA path).
+    trees = S.search(env, trees, SPEC, pseudo_net, 30, jax.random.PRNGKey(1),
+                     walk_impl="xla")
+    tiebreaks = jnp.zeros((B, env.ACTION_SIZE))
+
+    xla = jax.vmap(lambda t, tb: T.descend(t, SPEC, tb))(trees, tiebreaks)
+    pal = S._batched_walk(trees, SPEC, tiebreaks, "pallas_interpret")
+    for a, b, name in zip(xla, pal, ["node", "action", "child", "depth",
+                                     "skip"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
