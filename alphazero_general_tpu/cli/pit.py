@@ -5,7 +5,8 @@ alphazero/pit.py:14-45, envs/*/pit.py). Player specs:
 
   ``mcts:<ckpt-path>``    MCTS + network checkpoint (MCTSPlayer)
   ``nn:<ckpt-path>``      raw network policy (NNPlayer)
-  ``rawmcts``             model-free MCTS baseline
+  ``rawmcts``             model-free MCTS baseline (JAX)
+  ``nativemcts``          model-free MCTS on the C++ host runtime (fastest)
   ``random``              uniform random
   ``greedy``              one-ply crude_value lookahead
   ``human``               console input
@@ -52,6 +53,10 @@ def build_player(spec: str, env, args, seed: int):
         return cls(nn, env, args, seed=seed, verbose=True)
     if kind == "rawmcts":
         return RawMCTSPlayer(env, args, seed=seed)
+    if kind == "nativemcts":
+        from alphazero_general_tpu.players.players import NativeRawMCTSPlayer
+
+        return NativeRawMCTSPlayer(env, args, seed=seed)
     if kind == "random":
         return RandomPlayer(env, args, seed=seed)
     if kind == "greedy":

@@ -251,6 +251,59 @@ class RawMCTSPlayer(MCTSPlayer):
         return self._raw_search(states, sub)
 
 
+class NativeRawMCTSPlayer(BasePlayer):
+    """Model-free MCTS on the C++ host runtime (ops/native.py) — the
+    low-latency interactive twin of RawMCTSPlayer. Same search semantics
+    (MCTS.pyx raw search), per-move latency in the low milliseconds."""
+
+    def __init__(self, game_cls, args, seed: int = 0, **kw):
+        super().__init__(game_cls, args, **kw)
+        from alphazero_general_tpu.ops import native
+
+        if game_cls.NAME not in native.GAME_IDS:
+            raise native.NativeUnavailable(
+                f"native engine has no rules for {game_cls.NAME!r}"
+            )
+        native._load()  # build/bind eagerly so failures surface at init
+        self._native = native
+        self.temp = float(args.startTemp)
+        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self.last_value = None
+        self.last_depth = 0
+
+    def play(self, state) -> int:
+        self._seed += 1
+        best, counts, value, depth = self._native.raw_mcts_solve(
+            self.game_cls.NAME,
+            np.asarray(state.board),
+            int(state.player),
+            int(state.turns),
+            int(self.args.numMCTSSims),
+            cpuct=float(self.args.cpuct),
+            fpu_reduction=float(self.args.fpu_reduction),
+            min_discount=float(self.args.min_discount),
+            seed=self._seed,
+        )
+        self.last_value = value
+        self.last_depth = depth
+        self.temp = self.args.temp_scaling_fn(
+            self.temp, int(state.turns), self.game_cls.MAX_TURNS
+        )
+        if self.temp <= 1e-6:
+            return int(best)
+        p = counts.astype(np.float64) ** (1.0 / self.temp)
+        total = p.sum()
+        if total <= 0:
+            valids = np.flatnonzero(np.asarray(
+                self.game_cls.valid_moves(state)))
+            return int(self._rng.choice(valids))
+        return int(self._rng.choice(len(p), p=p / total))
+
+    def reset(self) -> None:
+        self.temp = float(self.args.startTemp)
+
+
 class GreedyValuePlayer(BasePlayer):
     """One-ply lookahead on env.crude_value (reference per-env greedy players,
     e.g. envs/hnefatafl/players.py:36-71)."""

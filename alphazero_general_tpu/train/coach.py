@@ -38,7 +38,7 @@ from alphazero_general_tpu.selfplay.replay import (
 from alphazero_general_tpu.selfplay.selfplay import (
     SelfPlayConfig,
     init_selfplay,
-    make_play_chunk_fn,
+    make_move_fns,
 )
 from alphazero_general_tpu.utils.config import Args
 from alphazero_general_tpu.utils.metrics import make_writer
@@ -86,7 +86,9 @@ class Coach:
         if args.selfPlayModelIter == 0:
             self.self_play_iter = 0
         else:
-            self.self_play_iter = args.selfPlayModelIter or train_iter
+            self.self_play_iter = args.selfPlayModelIter or \
+                self._load_run_state().get("self_play_iter", train_iter)
+            self.self_play_iter = min(self.self_play_iter, train_iter)
         if args.model_gating:
             self._load_model(self.self_play_net, self.self_play_iter)
 
@@ -119,6 +121,31 @@ class Coach:
     def _load_model(self, net: NNetWrapper, iteration: int) -> None:
         net.load_checkpoint(self.ckpt_folder, get_iter_file(iteration))
 
+    def _run_state_path(self) -> str:
+        return os.path.join(self.ckpt_folder, "run_state.json")
+
+    def _load_run_state(self) -> dict:
+        """Gating/run state persisted across restarts — the reference only
+        persists selfPlayModelIter through its GUI (main.py:383-387); here
+        headless resume keeps the gated model too."""
+        import json
+
+        try:
+            with open(self._run_state_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _save_run_state(self) -> None:
+        import json
+
+        with open(self._run_state_path(), "w") as f:
+            json.dump({
+                "self_play_iter": self.self_play_iter,
+                "model_iter": self.model_iter,
+                "gating_counter": self.gating_counter,
+            }, f)
+
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub
@@ -131,21 +158,19 @@ class Coach:
 
         return apply
 
-    def _chunk_fn(self, warmup: bool):
-        key = ("warmup" if warmup else "normal")
-        if key not in self._chunk_fns:
+    def _move_fns(self):
+        """Separately-jitted fast/full/warmup move runners (host-side
+        fast-sim choice — far cheaper to compile than traced two-branch
+        search conds)."""
+        if not self._chunk_fns:
             cfg = SelfPlayConfig.from_args(
                 self.args, self.env.NUM_PLAYERS, self.env.HAS_DRAW
             )
-            self._chunk_fns[key] = (
-                cfg,
-                make_play_chunk_fn(
-                    self.env, cfg, self._apply_fn(),
-                    int(self.args.get("selfplay_chunk_moves", 16)),
-                    warmup=warmup,
-                ),
-            )
-        return self._chunk_fns[key]
+            self._chunk_fns = {
+                "cfg": cfg,
+                "fns": make_move_fns(self.env, cfg, self._apply_fn()),
+            }
+        return self._chunk_fns["cfg"], self._chunk_fns["fns"]
 
     # ------------------------------------------------------------ main loop
     def learn(self) -> None:
@@ -191,6 +216,7 @@ class Coach:
                 "win_rate/self_play_model", self.self_play_iter, self.model_iter
             )
             self.model_iter += 1
+            self._save_run_state()
         self.state = TrainState.STANDBY
 
     # ------------------------------------------------------------- self-play
@@ -199,7 +225,7 @@ class Coach:
         (replaces Coach.py:290-435: agents + inference server + sample drain).
         """
         self.state = TrainState.SELF_PLAY
-        cfg, chunk_fn = self._chunk_fn(self.warmup)
+        cfg, fns = self._move_fns()
         batch = int(self.args.process_batch_size)
         target = int(self.args.gamesPerIteration)
 
@@ -214,7 +240,14 @@ class Coach:
         while games_done < target and not self.stop_train.is_set():
             while self.pause_train.is_set():
                 time.sleep(0.1)
-            carry, rec = chunk_fn(variables, carry, self._next_rng())
+            if self.warmup:
+                kind = "warmup"
+            else:
+                # Batch-global fast/full draw (SelfPlayAgent.pyx:84-86).
+                kind = "fast" if (
+                    self._np_rng.random() < cfg.prob_fast
+                ) else "full"
+            carry, rec = fns[kind](variables, carry, self._next_rng())
             records.append(jax.device_get(rec))
             games_done = int(carry.games_played)
             self.games_played_iter = games_done
@@ -223,8 +256,9 @@ class Coach:
         self.sample_time = elapsed / max(games_done, 1)
 
         self.state = TrainState.SAVE_SAMPLES
+        # One MoveRecord [B, ...] per move → stack time-major [K, B, ...].
         rec = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs, axis=0), *records
+            lambda *xs: np.stack(xs, axis=0), *records
         )
         obs, pi, value = finalize_trajectories(
             rec, symmetric=bool(self.args.symmetricSamples), env=self.env

@@ -1,0 +1,117 @@
+"""C++ host runtime tests: build, correctness vs the JAX search, latency."""
+
+import time
+
+import numpy as np
+import pytest
+
+from alphazero_general_tpu.envs.connect4 import Connect4
+from alphazero_general_tpu.envs.tictactoe import TicTacToe
+from alphazero_general_tpu.ops import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def c4_state(moves):
+    s = Connect4.init()
+    for m in moves:
+        s = Connect4.step(s, m)
+    return s
+
+
+class TestNativeEngine:
+    def test_builds_and_binds(self):
+        assert native.available()
+
+    def test_counts_sum(self):
+        s = c4_state([3])
+        best, counts, value, depth = native.raw_mcts_solve(
+            "connect4", np.asarray(s.board), int(s.player), int(s.turns), 100
+        )
+        # Reference bookkeeping: root expansion consumes the first sim.
+        assert counts.sum() == 99
+        assert 0 <= best < 7
+        assert depth >= 1
+
+    def test_finds_immediate_win(self):
+        # Player 0: three in a row at cols 4,5,6 region → must play col 3.
+        s = c4_state([4, 0, 5, 0, 6])
+        # Player 1 to move and must block... use the mover-to-win position:
+        s = c4_state([4, 0, 5, 0])
+        best, counts, value, depth = native.raw_mcts_solve(
+            "connect4", np.asarray(s.board), int(s.player), int(s.turns), 300
+        )
+        del best
+        # Now the winning position: p0 has 4,5 and plays 6 then 3 wins. Use
+        # the canonical 3-in-a-row single-gap position instead:
+        s = c4_state([4, 0, 5, 0, 6, 1])  # p0: 4,5,6 → wins at 3
+        best, counts, value, depth = native.raw_mcts_solve(
+            "connect4", np.asarray(s.board), int(s.player), int(s.turns), 300
+        )
+        assert best == 3, f"native engine missed the win: {counts}"
+        assert value > 0.9
+
+    def test_blocks_loss_tictactoe(self):
+        s = TicTacToe.init()
+        for m in [0, 3, 1]:  # p0 threatens 0-1-2; p1 must play 2
+            s = TicTacToe.step(s, m)
+        best, counts, *_ = native.raw_mcts_solve(
+            "tictactoe", np.asarray(s.board), int(s.player), int(s.turns), 400
+        )
+        assert best == 2, counts
+
+    def test_matches_jax_raw_search_policy(self):
+        """Native and JAX raw search must broadly agree on visit
+        distributions (same semantics, independent tiebreak RNG)."""
+        import jax
+
+        import alphazero_general_tpu.mcts.search as S
+        import alphazero_general_tpu.mcts.tree as T
+
+        # Empty board: tactically quiet, so independent tiebreak RNG streams
+        # should produce similar visit distributions.
+        s = Connect4.init()
+        spec = T.SearchSpec(add_root_noise=False, add_root_temp=False,
+                            min_discount=1.0, num_players=2, has_draw=True)
+        states = jax.tree_util.tree_map(lambda x: x[None], s)
+        trees = S.raw_search(Connect4, states, spec, 400,
+                             jax.random.PRNGKey(0))
+        jax_counts = np.asarray(jax.vmap(T.counts)(trees))[0]
+
+        _, nat_counts, *_ = native.raw_mcts_solve(
+            "connect4", np.asarray(s.board), int(s.player), int(s.turns), 400,
+            min_discount=1.0,
+        )
+        jp = jax_counts / jax_counts.sum()
+        npol = nat_counts / nat_counts.sum()
+        assert 0.5 * np.abs(jp - npol).sum() < 0.3, (jp, npol)
+
+    def test_latency(self):
+        """Interactive budget: a 200-sim move should take < 50 ms."""
+        s = c4_state([3, 2])
+        native.raw_mcts_solve("connect4", np.asarray(s.board), 0, 2, 10)
+        t0 = time.time()
+        native.raw_mcts_solve(
+            "connect4", np.asarray(s.board), int(s.player), int(s.turns), 200
+        )
+        ms = (time.time() - t0) * 1000
+        assert ms < 50, f"native move took {ms:.1f} ms"
+
+
+class TestNativePlayer:
+    def test_native_player_plays_legal_full_game(self):
+        from alphazero_general_tpu.players.players import NativeRawMCTSPlayer
+        from alphazero_general_tpu.utils.config import get_args
+
+        args = get_args(numMCTSSims=50, startTemp=0.5)
+        p = NativeRawMCTSPlayer(Connect4, args, seed=1)
+        s = Connect4.init()
+        while not np.asarray(Connect4.win_state(s)).any():
+            a = p.play(s)
+            valids = np.asarray(Connect4.valid_moves(s))
+            assert valids[a]
+            s = Connect4.step(s, a)
+        assert int(s.turns) <= Connect4.MAX_TURNS
