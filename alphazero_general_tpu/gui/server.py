@@ -1,0 +1,368 @@
+"""Web play + live-analysis server — the GUI surface.
+
+Capability parity with the reference's PyQt app (reference: AlphaZeroGUI/
+main.py:150-1022, CustomGUI.py:30-583 — SURVEY.md §7.8 accepts a web UI):
+human-vs-agent play for any registered env, opponent picker (raw/native MCTS
+or a model checkpoint), live evaluator publishing a win-probability eval bar
+and best-move hints, undo, and JSON API endpoints usable programmatically.
+Train control stays on the CLI (ROADMAP: web train panel).
+
+Run: ``python -m alphazero_general_tpu.gui.server [--port 8000]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from alphazero_general_tpu.envs import get_env, list_envs
+from alphazero_general_tpu.utils.config import get_args
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>alphazero_general_tpu</title><style>
+body { font-family: system-ui, sans-serif; margin: 2em; background: #182026; color: #e8eaed; }
+#board { border-collapse: collapse; margin: 1em 0; }
+#board td { width: 42px; height: 42px; border: 1px solid #3a434d; text-align: center;
+  font-size: 22px; cursor: pointer; user-select: none; }
+#board td.hint { background: #2d4d36; }
+#board td.sel { background: #4d3d2d; }
+#evalwrap { width: 380px; height: 14px; background: #a33; border-radius: 7px; overflow: hidden; }
+#evalbar { height: 100%; background: #3a7; width: 50%; transition: width 0.3s; }
+button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
+  padding: 6px 10px; border-radius: 4px; margin-right: 6px; }
+#status { margin-top: 0.6em; min-height: 1.4em; }
+</style></head><body>
+<h2>alphazero_general_tpu — play &amp; analyse</h2>
+<div>
+  <select id="env"></select>
+  <select id="opp">
+    <option value="nativemcts">native MCTS (fast)</option>
+    <option value="rawmcts">raw MCTS (JAX)</option>
+  </select>
+  <select id="seat"><option value="0">I play first</option>
+  <option value="1">agent plays first</option></select>
+  <button onclick="newGame()">new game</button>
+  <button onclick="undo()">undo</button>
+</div>
+<div style="margin-top:1em">win probability (you)
+  <div id="evalwrap"><div id="evalbar"></div></div></div>
+<table id="board"></table>
+<div id="status">pick an env and press "new game"</div>
+<script>
+let game = null, sel = null, view = null;
+async function api(path, body) {
+  const r = await fetch(path, {method: body ? 'POST' : 'GET',
+    headers: {'Content-Type': 'application/json'},
+    body: body ? JSON.stringify(body) : undefined});
+  return await r.json();
+}
+async function init() {
+  const envs = await api('/api/envs');
+  const sel = document.getElementById('env');
+  for (const e of envs.envs) {
+    const o = document.createElement('option'); o.value = o.textContent = e;
+    sel.appendChild(o);
+  }
+}
+async function newGame() {
+  const body = {env: document.getElementById('env').value,
+    opponent: document.getElementById('opp').value,
+    human_seat: parseInt(document.getElementById('seat').value)};
+  const r = await api('/api/new', body);
+  if (r.error) { setStatus(r.error); return; }
+  game = r.game; render(r);
+}
+async function undo() {
+  if (!game) return;
+  render(await api('/api/undo', {game}));
+}
+function setStatus(s) { document.getElementById('status').textContent = s; }
+function render(r) {
+  if (r.error) { setStatus(r.error); return; }
+  view = r;
+  const tbl = document.getElementById('board');
+  tbl.innerHTML = '';
+  const hints = new Set((r.hints || []).map(h => h[0] + ',' + h[1]));
+  for (let i = 0; i < r.board.length; i++) {
+    const tr = document.createElement('tr');
+    for (let j = 0; j < r.board[i].length; j++) {
+      const td = document.createElement('td');
+      td.textContent = r.board[i][j];
+      if (hints.has(i + ',' + j)) td.className = 'hint';
+      if (sel && sel[0] === i && sel[1] === j) td.className = 'sel';
+      td.onclick = () => clickCell(i, j);
+      tr.appendChild(td);
+    }
+    tbl.appendChild(tr);
+  }
+  document.getElementById('evalbar').style.width =
+    Math.round(100 * (r.eval_for_human ?? 0.5)) + '%';
+  setStatus(r.message || '');
+}
+async function clickCell(i, j) {
+  if (!game || !view || view.terminal) return;
+  if (view.needs_two_clicks) {
+    if (!sel) { sel = [i, j]; render(view); return; }
+    const r = await api('/api/move', {game, from: sel, to: [i, j]});
+    sel = null; render(r);
+  } else {
+    render(await api('/api/move', {game, to: [i, j]}));
+  }
+}
+init();
+</script></body></html>
+"""
+
+TWO_CLICK_ENVS = {"brandubh", "hnefatafl"}
+
+
+class GameSession:
+    def __init__(self, env_name: str, opponent: str, human_seat: int,
+                 args=None):
+        self.env = get_env(env_name)
+        self.env_name = env_name
+        self.args = args or get_args(numMCTSSims=200, startTemp=0.0)
+        self.human_seat = human_seat
+        self.state = self.env.init()
+        self.history = [self.state]
+        self.lock = threading.Lock()
+        self.opponent = self._build_opponent(opponent)
+        from alphazero_general_tpu.players.evaluator import MCTSEvaluator
+
+        self.evaluator = MCTSEvaluator(
+            self.env, self.args, max_search_time=1.0, max_sims=400,
+            sims_per_tick=40,
+        )
+
+    def _build_opponent(self, spec: str):
+        from alphazero_general_tpu.cli.pit import build_player
+
+        try:
+            return build_player(spec, self.env, self.args, seed=0)
+        except SystemExit as e:
+            raise ValueError(str(e))
+
+    # ------------------------------------------------------------------ view
+    def _chars(self, v: int) -> str:
+        name = self.env_name
+        if name in ("connect4", "gobang", "tictactoe"):
+            return {0: "", 1: "●", -1: "○"}.get(v, "?")
+        if name == "othello":
+            return {0: "", 1: "●", -1: "○"}.get(v, "?")
+        if name in TWO_CLICK_ENVS:
+            return {0: "", 1: "♙", 2: "♟", 3: "♔", 4: "▣", 5: "▢",
+                    7: "♔", 8: "♔"}.get(v, "?")
+        return str(v)
+
+    def _action_from_clicks(self, frm, to):
+        env = self.env
+        name = self.env_name
+        if name == "connect4":
+            return int(to[1])
+        if name in ("tictactoe", "othello", "gobang"):
+            H, W = np.asarray(self.state.board).shape
+            return int(to[0]) * W + int(to[1])
+        if name in TWO_CLICK_ENVS:
+            if frm is None:
+                raise ValueError("select a piece first")
+            return env.encode_action(int(frm[0]), int(frm[1]),
+                                    int(to[0]), int(to[1]))
+        raise ValueError(f"interactive play not supported for {name}")
+
+    def view(self, message: str = "") -> dict:
+        board = np.asarray(self.state.board)
+        win = np.asarray(self.env.win_state(self.state))
+        terminal = bool(win.any())
+        analysis = self.evaluator.analysis
+        # Eval bar: root value is from the mover's perspective.
+        mover_value = analysis.value
+        human_to_move = int(self.state.player) == self.human_seat
+        eval_h = mover_value if human_to_move else 1.0 - mover_value
+        hints = []
+        if human_to_move and not terminal:
+            for a in analysis.best_actions[:3]:
+                hints.append(self._cell_of_action(a))
+        if terminal:
+            if win[-1] and self.env.HAS_DRAW:
+                message = "draw"
+            else:
+                winner = int(np.argmax(win[:-1]))
+                message = "you win!" if winner == self.human_seat \
+                    else "agent wins"
+        return {
+            "board": [[self._chars(int(v)) for v in row] for row in board],
+            "terminal": terminal,
+            "turns": int(self.state.turns),
+            "player": int(self.state.player),
+            "human_seat": self.human_seat,
+            "needs_two_clicks": self.env_name in TWO_CLICK_ENVS,
+            "eval_for_human": float(np.clip(eval_h, 0.0, 1.0)),
+            "analysis_sims": analysis.sims,
+            "hints": hints,
+            "message": message,
+        }
+
+    def _cell_of_action(self, a: int):
+        name = self.env_name
+        if name == "connect4":
+            board = np.asarray(self.state.board)
+            col = board[:, a]
+            filled = int(np.abs(col).sum())
+            return [len(col) - 1 - filled, int(a)]
+        if name in ("tictactoe", "othello", "gobang"):
+            W = np.asarray(self.state.board).shape[1]
+            return [a // W, a % W]
+        if name in TWO_CLICK_ENVS:
+            (_, _), (r2, c2) = self.env.decode_action(a)
+            return [r2, c2]
+        return [0, 0]
+
+    # ----------------------------------------------------------------- moves
+    def _agent_move(self):
+        action = self.opponent.play(self.state)
+        self.state = self.env.step(self.state, action)
+        self.history.append(self.state)
+
+    def start(self):
+        with self.lock:
+            if self.human_seat == 1:
+                self._agent_move()
+            self.evaluator.start(self.state)
+            return self.view("your move")
+
+    def human_move(self, frm, to) -> dict:
+        with self.lock:
+            win = np.asarray(self.env.win_state(self.state))
+            if win.any():
+                return self.view()
+            if int(self.state.player) != self.human_seat:
+                return self.view("not your turn")
+            try:
+                action = self._action_from_clicks(frm, to)
+            except ValueError as e:
+                return self.view(str(e))
+            valids = np.asarray(self.env.valid_moves(self.state))
+            if not (0 <= action < self.env.ACTION_SIZE and valids[action]):
+                return self.view("illegal move")
+            self.state = self.env.step(self.state, action)
+            self.history.append(self.state)
+            if not np.asarray(self.env.win_state(self.state)).any():
+                self._agent_move()
+            self.evaluator.start(self.state)
+            return self.view("your move")
+
+    def undo(self) -> dict:
+        with self.lock:
+            # Pop back to the previous human-to-move state.
+            while len(self.history) > 1:
+                self.history.pop()
+                self.state = self.history[-1]
+                if int(self.state.player) == self.human_seat:
+                    break
+            self.evaluator.start(self.state)
+            return self.view("undone")
+
+
+_SESSIONS: dict = {}
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _json(self, payload, code=200):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/" or self.path.startswith("/index"):
+            body = _PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/api/envs":
+            self._json({"envs": [e for e in list_envs() if e != "stratego"]})
+        elif self.path.startswith("/api/state"):
+            game = self.path.split("game=")[-1]
+            sess = _SESSIONS.get(game)
+            if not sess:
+                self._json({"error": "unknown game"}, 404)
+            else:
+                self._json(sess.view())
+        else:
+            self._json({"error": "not found"}, 404)
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            payload = json.loads(self.rfile.read(length) or b"{}")
+        except ValueError:
+            self._json({"error": "bad json"}, 400)
+            return
+        try:
+            if self.path == "/api/new":
+                sess = GameSession(
+                    payload.get("env", "connect4"),
+                    payload.get("opponent", "nativemcts"),
+                    int(payload.get("human_seat", 0)),
+                )
+                gid = uuid.uuid4().hex[:12]
+                _SESSIONS[gid] = sess
+                out = sess.start()
+                out["game"] = gid
+                self._json(out)
+            elif self.path == "/api/move":
+                sess = _SESSIONS.get(payload.get("game"))
+                if not sess:
+                    self._json({"error": "unknown game"}, 404)
+                    return
+                out = sess.human_move(payload.get("from"), payload.get("to"))
+                out["game"] = payload["game"]
+                self._json(out)
+            elif self.path == "/api/undo":
+                sess = _SESSIONS.get(payload.get("game"))
+                if not sess:
+                    self._json({"error": "unknown game"}, 404)
+                    return
+                out = sess.undo()
+                out["game"] = payload["game"]
+                self._json(out)
+            else:
+                self._json({"error": "not found"}, 404)
+        except Exception as e:  # surface errors to the UI
+            self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--device", choices=["auto", "cpu"], default="cpu")
+    ns = p.parse_args(argv)
+    if ns.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    server = ThreadingHTTPServer((ns.host, ns.port), Handler)
+    print(f"serving on http://{ns.host}:{ns.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

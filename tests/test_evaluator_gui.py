@@ -1,0 +1,130 @@
+"""Evaluator service + web GUI server tests."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from alphazero_general_tpu.envs.connect4 import Connect4
+from alphazero_general_tpu.players.evaluator import MCTSEvaluator, greedy_value
+from alphazero_general_tpu.utils.config import get_args
+
+
+def c4(moves):
+    s = Connect4.init()
+    for m in moves:
+        s = Connect4.step(s, m)
+    return s
+
+
+class TestEvaluator:
+    def test_blocking_analysis_finds_win(self):
+        ev = MCTSEvaluator(Connect4, get_args(), max_search_time=20.0,
+                           max_sims=240, sims_per_tick=40)
+        s = c4([2, 0, 3, 0, 4, 1])  # p0 wins at 1 or 5
+        a = ev.analyze_blocking(s)
+        assert a.sims >= 240
+        assert a.best_actions[0] in (1, 5), a.best_actions
+        assert a.value > 0.8
+        assert not a.running
+
+    def test_background_analysis_publishes_incrementally(self):
+        ev = MCTSEvaluator(Connect4, get_args(), max_search_time=30.0,
+                           max_sims=2000, sims_per_tick=20)
+        ev.start(c4([3]))
+        deadline = time.time() + 25
+        seen = 0
+        while time.time() < deadline:
+            a = ev.analysis
+            if a.sims > seen:
+                seen = a.sims
+            if seen >= 40:
+                break
+            time.sleep(0.2)
+        ev.stop()
+        assert seen >= 40, "no incremental updates observed"
+        a = ev.analysis
+        assert 0.0 <= a.value <= 1.0
+
+    def test_terminal_position_no_crash(self):
+        ev = MCTSEvaluator(Connect4, get_args(), max_sims=40)
+        s = c4([2, 0, 3, 0, 4, 0, 5])  # p0 has won
+        a = ev.analyze_blocking(s)
+        assert not a.running
+
+    def test_greedy_value(self):
+        assert greedy_value(Connect4, Connect4.init()) == 0.5
+
+
+@pytest.fixture(scope="module")
+def gui_server():
+    from http.server import ThreadingHTTPServer
+
+    from alphazero_general_tpu.gui.server import Handler
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def api(base, path, body=None):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+        method="POST" if body is not None else "GET",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read()), r.status
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read()), e.code
+
+
+class TestGuiServer:
+    def test_index_serves_html(self, gui_server):
+        with urllib.request.urlopen(gui_server + "/") as r:
+            body = r.read().decode()
+        assert "alphazero_general_tpu" in body and "<table" in body
+
+    def test_envs_listed(self, gui_server):
+        out, status = api(gui_server, "/api/envs")
+        assert status == 200
+        assert "connect4" in out["envs"]
+
+    def test_full_game_flow(self, gui_server):
+        out, status = api(gui_server, "/api/new", {
+            "env": "tictactoe", "opponent": "rawmcts", "human_seat": 0,
+        })
+        assert status == 200, out
+        game = out["game"]
+        assert len(out["board"]) == 3
+        assert not out["terminal"]
+
+        # Play center as human; agent replies.
+        out, status = api(gui_server, "/api/move",
+                          {"game": game, "to": [1, 1]})
+        assert status == 200, out
+        board = out["board"]
+        filled = sum(1 for row in board for c in row if c)
+        assert filled == 2  # human + agent move applied
+        assert out["player"] == 0  # back to the human
+
+        # Illegal move: same cell again.
+        out, _ = api(gui_server, "/api/move", {"game": game, "to": [1, 1]})
+        assert out["message"] == "illegal move"
+
+        # Undo returns to a human-to-move state with fewer stones.
+        out, _ = api(gui_server, "/api/undo", {"game": game})
+        board = out["board"]
+        assert sum(1 for row in board for c in row if c) == 0
+
+    def test_unknown_game_404(self, gui_server):
+        out, status = api(gui_server, "/api/move",
+                          {"game": "nope", "to": [0, 0]})
+        assert status == 404
