@@ -36,6 +36,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 NOISE_ALPHA_RATIO = 10.83  # MCTS.pyx:20
@@ -414,6 +415,92 @@ def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
 
 def _renorm(p: jnp.ndarray) -> jnp.ndarray:
     return p / jnp.maximum(jnp.sum(p), 1e-30)
+
+
+def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
+    """Re-root the tree at the root's child for ``action`` — the array-tree
+    equivalent of tree reuse via update_root (MCTS.pyx:185-195).
+
+    The child's subtree is compacted to the front of a fresh arena (visit
+    counts, priors and values preserved); if the edge was never expanded the
+    result is an empty tree rooted at the stepped state. Membership is
+    resolved by pointer-doubling over parent links (nodes are allocated
+    parent-before-child, so ≤ log2(N) rounds suffice).
+    """
+    N = tree.parent.shape[0]  # rows incl. dummy
+    child = tree.children[ROOT, action]
+    exists = child != UNVISITED
+    safe_child = jnp.where(exists, child, 0)
+
+    # --- subtree membership via ancestor jumping ---------------------------
+    idx = jnp.arange(N, dtype=jnp.int32)
+    member = idx == safe_child
+    anc = jnp.where(idx == ROOT, jnp.int32(ROOT), tree.parent)
+    anc = jnp.where(anc == UNVISITED, 0, anc)
+    rounds = max(1, int(np.ceil(np.log2(max(N, 2)))))
+    for _ in range(rounds):
+        member = member | member[anc]
+        anc = anc[anc]
+    member = member & (idx < tree.next_free)  # ignore junk rows
+
+    # --- compaction order: members keep their relative order ---------------
+    new_pos = jnp.cumsum(member.astype(jnp.int32)) - 1  # [N]
+    new_pos = jnp.where(member, new_pos, N - 1)  # non-members → dummy
+    gather_idx = jnp.full((N,), N - 1, jnp.int32)
+    gather_idx = gather_idx.at[new_pos].set(
+        jnp.where(member, idx, N - 1)
+    )
+
+    def take(buf):
+        return buf[gather_idx]
+
+    count = jnp.sum(member).astype(jnp.int32)
+    # Rows past the compacted subtree must be pristine: the gather fills them
+    # from the dummy sink, whose children/parent rows accumulate junk writes —
+    # if later allocations reuse such a row un-cleared, the walk can follow a
+    # garbage child pointer into a self-loop.
+    live_row = idx < count  # [N]
+
+    def live(x, fill):
+        mask = live_row.reshape((N,) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x, jnp.asarray(fill, x.dtype))
+
+    node_state = jax.tree_util.tree_map(take, tree.node_state)
+    remap = lambda old: jnp.where(old == UNVISITED, UNVISITED, new_pos[
+        jnp.where(old == UNVISITED, 0, old)
+    ])
+    parent = live(remap(take(tree.parent)), UNVISITED)
+    parent = parent.at[ROOT].set(UNVISITED)
+    children = live(remap(take(tree.children)), UNVISITED)
+    compacted = Tree(
+        node_state=node_state,
+        parent=parent,
+        parent_action=live(take(tree.parent_action), UNVISITED)
+        .at[ROOT].set(UNVISITED),
+        children=children,
+        valids=live(take(tree.valids), False),
+        prior=live(take(tree.prior), 0.0),
+        n=live(take(tree.n), 0),
+        q=live(take(tree.q), 0.0),
+        v=live(take(tree.v), 0.0),
+        e=live(take(tree.e), 0.0),
+        player=live(take(tree.player), 0),
+        next_free=count,
+        depth=jnp.int32(0),
+        max_depth=jnp.int32(0),
+        leaf=ROOT,
+    )
+
+    # --- unexpanded edge → fresh tree at the stepped state -----------------
+    root_state = jax.tree_util.tree_map(lambda b: b[ROOT], tree.node_state)
+    stepped = env.step(root_state, action)
+    fresh = init_tree(env, stepped, N - 1, tree.e.shape[-1])
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            jnp.reshape(exists, (1,) * a.ndim), a, b
+        ) if a.ndim else jnp.where(exists, a, b),
+        compacted, fresh,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,12 +47,20 @@ class SelfPlayConfig(NamedTuple):
     temp_scale_factor: float = 0.15  # default_temp_scaling
     temp_min: float = 0.2
     const_temp: bool = False
-    tree_capacity: int = 0  # 0 → sims_full + 2
+    tree_capacity: int = 0  # 0 → sims_full + 2 (2x+2 with tree reuse)
+    # Carry each game's search tree across moves, re-rooted at the played
+    # action (reference: update_root tree reuse, MCTS.pyx:185-195). Opt-in
+    # pending an Elo A/B (ROADMAP); the reference reuses by default.
+    reuse_tree: bool = False
     spec: T.SearchSpec = T.SearchSpec()
 
     @property
     def capacity(self) -> int:
-        return self.tree_capacity or max(self.sims_full, self.sims_warmup) + 2
+        if self.tree_capacity:
+            return self.tree_capacity
+        base = max(self.sims_full, self.sims_warmup)
+        # With reuse the carried subtree plus a full search must fit.
+        return 2 * base + 2 if self.reuse_tree else base + 2
 
     @classmethod
     def from_args(cls, args, num_players: int, has_draw: bool,
@@ -84,12 +92,17 @@ class SelfPlayConfig(NamedTuple):
 
 @struct.dataclass
 class SelfPlayState:
-    """Device-resident carry for a batch of lockstep games."""
+    """Device-resident carry for a batch of lockstep games.
+
+    ``trees`` is only populated when the config enables tree reuse; it then
+    holds each game's re-rooted search tree between moves (None otherwise —
+    a fresh arena is built per move)."""
 
     env_state: object  # batched env pytree [B, ...]
     temps: jnp.ndarray  # f32[B]
     games_played: jnp.ndarray  # i32 scalar (completed games so far)
     move_count: jnp.ndarray  # i32 scalar (move rounds so far)
+    trees: object = None  # batched Tree [B, ...] when reuse_tree
 
 
 @struct.dataclass
@@ -105,13 +118,19 @@ class MoveRecord:
     fast: jnp.ndarray  # bool[] batch-global fast-sim flag (sample discarded)
 
 
-def init_selfplay(env, batch_size: int, start_temp: float = 1.0) -> SelfPlayState:
+def init_selfplay(env, batch_size: int, start_temp: float = 1.0,
+                  cfg: SelfPlayConfig | None = None) -> SelfPlayState:
     states = jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
+    trees = None
+    if cfg is not None and cfg.reuse_tree:
+        trees = S.init_batched_trees(env, states, cfg.capacity,
+                                     cfg.spec.value_size)
     return SelfPlayState(
         env_state=states,
         temps=jnp.full((batch_size,), jnp.float32(start_temp)),
         games_played=jnp.int32(0),
         move_count=jnp.int32(0),
+        trees=trees,
     )
 
 
@@ -139,8 +158,11 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
     r_fast, r_search, r_action, _ = jax.random.split(rng, 4)
     states = carry.env_state
 
-    trees = S.init_batched_trees(env, states, cfg.capacity,
-                                 cfg.spec.value_size)
+    if cfg.reuse_tree:
+        trees = carry.trees  # carried, already rooted at `states`
+    else:
+        trees = S.init_batched_trees(env, states, cfg.capacity,
+                                     cfg.spec.value_size)
 
     if warmup:
         # Uniform policy/value, no network (SelfPlayAgent.pyx:48-52, 111-114).
@@ -191,11 +213,30 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
     next_states = jax.tree_util.tree_map(_sel, new_states, fresh)
     temps = jnp.where(done, cfg.start_temp, temps)
 
+    next_trees = None
+    if cfg.reuse_tree:
+        # Re-root at the played action (update_root, MCTS.pyx:185-195);
+        # finished or capacity-overflowing games restart from a fresh arena.
+        rerooted = jax.vmap(lambda t, a: T.reroot(env, t, a))(trees, action)
+        overflow = (
+            rerooted.next_free + max(cfg.sims_full, cfg.sims_warmup) + 1
+            > cfg.capacity
+        )
+        restart = done | overflow
+        fresh_trees = S.init_batched_trees(
+            env, next_states, cfg.capacity, cfg.spec.value_size
+        )
+        def _selt(a, b):
+            d = restart.reshape((B,) + (1,) * (a.ndim - 1))
+            return jnp.where(d, b, a)
+        next_trees = jax.tree_util.tree_map(_selt, rerooted, fresh_trees)
+
     carry = SelfPlayState(
         env_state=next_states,
         temps=temps,
         games_played=carry.games_played + jnp.sum(done).astype(jnp.int32),
         move_count=carry.move_count + 1,
+        trees=next_trees,
     )
     record = MoveRecord(
         obs=obs, pi=pi_full, player=player, action=action,
