@@ -284,6 +284,10 @@ class Coach:
     def train(self, iteration: int) -> None:
         """Train over the growing history window (Coach.py:437-525)."""
         self.state = TrainState.TRAIN
+        if self.args.train_on_past_data and iteration == self.args.startIter:
+            self._train_on_past_data(iteration)
+            self.state = TrainState.STANDBY
+            return
         window = history_window(
             iteration,
             int(self.args.minTrainHistoryWindow),
@@ -326,6 +330,42 @@ class Coach:
         )
         self._save_model(self.train_net, iteration)
         self.state = TrainState.STANDBY
+
+    def _train_on_past_data(self, iteration: int) -> None:
+        """One-shot chunked pre-training from a previous run's sample files
+        (Coach.py:486-505)."""
+        from math import ceil
+
+        past = ReplayStore(self.args.data, self.args.past_data_run_name)
+        total_iters = past.num_iterations()
+        chunk = int(self.args.past_data_chunk_size)
+        num_chunks = ceil(total_iters / chunk) if total_iters else 0
+        print(f'Training on past data from run '
+              f'"{self.args.past_data_run_name}" in {num_chunks} chunks of '
+              f'{chunk} iterations ({total_iters} iterations in total).')
+        batch_size = int(self.args.train_batch_size)
+        start = 1
+        for _ in range(num_chunks):
+            end = min(start + chunk - 1, total_iters)
+            data = past.load_window(start, end)
+            start = end + 1
+            if data is None:
+                continue
+            train_steps = max(len(data[0]) // batch_size, 1)  # train_on_all
+
+            def batches():
+                while True:
+                    yield from batch_iterator(data, batch_size, self._np_rng)
+
+            self.loss_pi, self.loss_v = self.train_net.train(
+                batches(), train_steps, iteration=iteration
+            )
+        self.writer.add_scalar("loss/policy", self.loss_pi, iteration)
+        self.writer.add_scalar("loss/value", self.loss_v, iteration)
+        self.writer.add_scalar(
+            "loss/total", self.loss_pi + self.loss_v, iteration
+        )
+        self._save_model(self.train_net, iteration)
 
     # ------------------------------------------------------------ evaluation
     def _get_arena_fn(self, num_games: int, baseline: bool):
