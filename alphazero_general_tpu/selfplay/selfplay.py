@@ -86,6 +86,7 @@ class SelfPlayConfig(NamedTuple):
             start_temp=float(args.startTemp),
             const_temp=args.get("temp_scaling_fn") is const_temp_scaling,
             tree_capacity=int(args.get("max_tree_nodes", 0)),
+            reuse_tree=bool(args.get("reuse_tree", False)),
             spec=spec,
         )
 

@@ -171,8 +171,11 @@ def _build_default_args() -> Args:
         # Number of moves executed per jitted self-play chunk.
         selfplay_chunk_moves=16,
         # Keep at most this many nodes in a search tree arena
-        # (0 = numMCTSSims + 2).
+        # (0 = numMCTSSims + 2, doubled under reuse_tree).
         max_tree_nodes=0,
+        # Carry search trees across moves, re-rooted at the played action
+        # (the reference's update_root reuse). Opt-in pending Elo A/B.
+        reuse_tree=False,
     )
 
 
