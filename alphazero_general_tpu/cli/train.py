@@ -27,8 +27,11 @@ def main(argv=None) -> int:
     env = resolve_env(ns)
     args = resolve_args(ns)
 
+    from alphazero_general_tpu.envs.stacked import maybe_stack
     from alphazero_general_tpu.models import NNetWrapper
     from alphazero_general_tpu.train import Coach
+
+    env = maybe_stack(env, args)
 
     nnet = NNetWrapper(env, args)
     coach = Coach(env, nnet, args)

@@ -233,7 +233,7 @@ class Coach:
         net = self.self_play_net if self.args.model_gating else self.train_net
         variables = net.state.variables
 
-        carry = init_selfplay(self.env, batch, cfg.start_temp)
+        carry = init_selfplay(self.env, batch, cfg.start_temp, cfg=cfg)
         records = []
         start = time.time()
         games_done = 0
