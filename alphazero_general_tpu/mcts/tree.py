@@ -31,8 +31,8 @@ We implement the *documented* fractional discount; with the default
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ alphazero/NNetWrapper.py:86-282). Differences by design:
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Iterable, Tuple
 

@@ -15,7 +15,7 @@ replacement: one logical program, sharded.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import numpy as np

@@ -16,7 +16,6 @@ import numpy as np
 
 import alphazero_general_tpu.mcts.search as S
 import alphazero_general_tpu.mcts.tree as T
-from alphazero_general_tpu.utils.misc import default_temp_scaling
 
 
 class BasePlayer:

@@ -18,7 +18,7 @@ from glob import glob
 import os
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from alphazero_general_tpu.models.wrapper import NNetWrapper

@@ -166,3 +166,24 @@ class TestCLI:
         import os
 
         assert os.path.exists(f"{tmp_path}/ckpt/clitest/iteration-0001.ckpt")
+
+
+class TestTreeViz:
+    def test_dot_and_text(self):
+        import jax
+
+        import alphazero_general_tpu.mcts.search as S
+        import alphazero_general_tpu.mcts.tree as T
+        from alphazero_general_tpu.utils.treeviz import tree_to_dot, tree_to_text
+
+        env = Connect4
+        states = __import__("jax").tree_util.tree_map(
+            lambda x: x[None], env.init()
+        )
+        spec = T.SearchSpec(add_root_noise=False, add_root_temp=False,
+                            num_players=2, has_draw=True)
+        trees = S.raw_search(env, states, spec, 40, jax.random.PRNGKey(0))
+        dot = tree_to_dot(trees, game=0, max_depth=2)
+        assert dot.startswith("digraph mcts {") and "->" in dot
+        txt = tree_to_text(trees, game=0)
+        assert "#0 n=40" in txt
