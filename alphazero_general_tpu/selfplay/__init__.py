@@ -3,6 +3,7 @@ from alphazero_general_tpu.selfplay.selfplay import (  # noqa: F401
     SelfPlayConfig,
     SelfPlayState,
     init_selfplay,
+    make_move_fns,
     make_play_chunk_fn,
     move_step,
     play_chunk,
