@@ -4,8 +4,9 @@ Capability parity with the reference's PyQt app (reference: AlphaZeroGUI/
 main.py:150-1022, CustomGUI.py:30-583 — SURVEY.md §7.8 accepts a web UI):
 human-vs-agent play for any registered env, opponent picker (raw/native MCTS
 or a model checkpoint), live evaluator publishing a win-probability eval bar
-and best-move hints, undo, and JSON API endpoints usable programmatically.
-Train control stays on the CLI (ROADMAP: web train panel).
+and best-move hints, undo, JSON API endpoints usable programmatically, and a
+train panel (start/pause/stop + polled live stats — the web twin of the
+reference's train tab, main.py:342-421).
 
 Run: ``python -m alphazero_general_tpu.gui.server [--port 8000]``
 """
@@ -53,6 +54,16 @@ button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
   <div id="evalwrap"><div id="evalbar"></div></div></div>
 <table id="board"></table>
 <div id="status">pick an env and press "new game"</div>
+<hr style="border-color:#3a434d; margin:1.6em 0">
+<h3>train</h3>
+<div>
+  <select id="tenv"></select>
+  <input id="titers" type="number" value="2" min="1" style="width:70px;background:#2b3440;color:#e8eaed;border:1px solid #3a434d;padding:6px">
+  <button onclick="trainStart()">start</button>
+  <button onclick="trainPause()">pause/resume</button>
+  <button onclick="trainStop()">stop</button>
+</div>
+<div id="tstatus" style="margin-top:0.6em">idle</div>
 <script>
 let game = null, sel = null, view = null;
 async function api(path, body) {
@@ -63,11 +74,31 @@ async function api(path, body) {
 }
 async function init() {
   const envs = await api('/api/envs');
-  const sel = document.getElementById('env');
-  for (const e of envs.envs) {
-    const o = document.createElement('option'); o.value = o.textContent = e;
-    sel.appendChild(o);
+  for (const id of ['env', 'tenv']) {
+    const sel = document.getElementById(id);
+    for (const e of envs.envs) {
+      const o = document.createElement('option'); o.value = o.textContent = e;
+      sel.appendChild(o);
+    }
   }
+  setInterval(pollTrain, 1000);
+}
+async function trainStart() {
+  const r = await api('/api/train/start', {
+    env: document.getElementById('tenv').value,
+    overrides: {numIters: parseInt(document.getElementById('titers').value)}});
+  document.getElementById('tstatus').textContent = r.error || 'starting…';
+}
+async function trainPause() { await api('/api/train/pause', {}); }
+async function trainStop() { await api('/api/train/stop', {}); }
+async function pollTrain() {
+  const s = await api('/api/train/status');
+  if (!s.running && !s.state) return;
+  document.getElementById('tstatus').textContent =
+    `${s.state}  iter ${s.model_iter}  games ${s.games_played}  ` +
+    `loss_pi ${s.loss_pi?.toFixed(3)}  loss_v ${s.loss_v?.toFixed(3)}  ` +
+    `gated@${s.self_play_iter}` + (s.paused ? '  [paused]' : '') +
+    (s.running ? '' : '  [finished]');
 }
 async function newGame() {
   const body = {env: document.getElementById('env').value,
@@ -271,6 +302,85 @@ class GameSession:
 _SESSIONS: dict = {}
 
 
+class TrainManager:
+    """One training session driven from the web UI (reference:
+    main.py:342-421 — Coach on a thread, polled status, pause/stop via the
+    Coach's events, auto-detected completion)."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.coach = None
+        self.thread = None
+        self.env_name = None
+        self.error = None
+
+    def start(self, env_name: str, overrides: dict) -> dict:
+        with self.lock:
+            if self.thread is not None and self.thread.is_alive():
+                return {"error": "a training session is already running"}
+            from alphazero_general_tpu.envs.presets import preset_args
+            from alphazero_general_tpu.envs.stacked import maybe_stack
+            from alphazero_general_tpu.models import NNetWrapper
+            from alphazero_general_tpu.train import Coach
+
+            try:
+                args = preset_args(env_name, **(overrides or {}))
+                env = maybe_stack(get_env(env_name), args)
+                nnet = NNetWrapper(env, args)
+                self.coach = Coach(env, nnet, args)
+            except Exception as e:
+                return {"error": f"{type(e).__name__}: {e}"}
+            self.env_name = env_name
+            self.error = None
+
+            def run():
+                try:
+                    self.coach.learn()
+                except Exception as e:  # surfaced via status
+                    self.error = f"{type(e).__name__}: {e}"
+
+            self.thread = threading.Thread(target=run, daemon=True)
+            self.thread.start()
+            return {"ok": True}
+
+    def status(self) -> dict:
+        c = self.coach
+        if c is None:
+            return {"running": False, "state": None}
+        return {
+            "running": self.thread.is_alive() if self.thread else False,
+            "state": c.state.name,
+            "env": self.env_name,
+            "model_iter": c.model_iter,
+            "games_played": c.games_played_iter,
+            "loss_pi": c.loss_pi,
+            "loss_v": c.loss_v,
+            "sample_time": c.sample_time,
+            "self_play_iter": c.self_play_iter,
+            "paused": c.pause_train.is_set(),
+            "error": self.error,
+        }
+
+    def pause(self) -> dict:
+        if self.coach is None:
+            return {"error": "no training session"}
+        if self.coach.pause_train.is_set():
+            self.coach.pause_train.clear()
+        else:
+            self.coach.pause_train.set()
+        return {"paused": self.coach.pause_train.is_set()}
+
+    def stop(self) -> dict:
+        if self.coach is None:
+            return {"error": "no training session"}
+        self.coach.stop_train.set()
+        self.coach.pause_train.clear()
+        return {"ok": True}
+
+
+_TRAIN = TrainManager()
+
+
 class Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -293,6 +403,8 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
         elif self.path == "/api/envs":
             self._json({"envs": [e for e in list_envs() if e != "stratego"]})
+        elif self.path == "/api/train/status":
+            self._json(_TRAIN.status())
         elif self.path.startswith("/api/state"):
             game = self.path.split("game=")[-1]
             sess = _SESSIONS.get(game)
@@ -338,6 +450,15 @@ class Handler(BaseHTTPRequestHandler):
                 out = sess.undo()
                 out["game"] = payload["game"]
                 self._json(out)
+            elif self.path == "/api/train/start":
+                self._json(_TRAIN.start(
+                    payload.get("env", "tictactoe"),
+                    payload.get("overrides") or {},
+                ))
+            elif self.path == "/api/train/pause":
+                self._json(_TRAIN.pause())
+            elif self.path == "/api/train/stop":
+                self._json(_TRAIN.stop())
             else:
                 self._json({"error": "not found"}, 404)
         except Exception as e:  # surface errors to the UI

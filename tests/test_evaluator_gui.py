@@ -128,3 +128,52 @@ class TestGuiServer:
         out, status = api(gui_server, "/api/move",
                           {"game": "nope", "to": [0, 0]})
         assert status == 404
+
+
+class TestTrainPanel:
+    def test_train_via_api(self, gui_server, tmp_path, monkeypatch):
+        import os
+
+        monkeypatch.chdir(tmp_path)  # keep checkpoint/data/runs out of repo
+        out, status = api(gui_server, "/api/train/start", {
+            "env": "tictactoe",
+            "overrides": {
+                "numIters": 1, "gamesPerIteration": 4,
+                "process_batch_size": 4, "numMCTSSims": 3, "numFastSims": 2,
+                "numWarmupSims": 2, "arenaCompare": 4,
+                "arenaCompareBaseline": 4, "num_channels": 4, "depth": 1,
+                "value_dense_layers": [8], "policy_dense_layers": [8],
+                "value_head_channels": 2, "policy_head_channels": 2,
+                "compute_dtype": "float32", "train_batch_size": 8,
+                "run_name": "webtrain",
+            },
+        })
+        assert status == 200 and out.get("ok"), out
+
+        # Second start while running must be refused (or the first already
+        # finished — then it errors differently or succeeds; only assert the
+        # busy case when still running).
+        st, _ = api(gui_server, "/api/train/status")
+        if st["running"]:
+            out2, _ = api(gui_server, "/api/train/start", {"env": "tictactoe"})
+            assert "error" in out2
+
+        deadline = time.time() + 120
+        final = None
+        while time.time() < deadline:
+            st, _ = api(gui_server, "/api/train/status")
+            final = st
+            if not st["running"]:
+                break
+            time.sleep(1)
+        assert final is not None and not final["running"], final
+        assert final["error"] is None, final
+        assert final["model_iter"] >= 2  # finished iteration 1
+        assert os.path.exists("checkpoint/webtrain/iteration-0001.ckpt")
+
+    def test_pause_and_stop_endpoints(self, gui_server):
+        # With no session or a finished one these still respond sanely.
+        out, _ = api(gui_server, "/api/train/pause", {})
+        assert "paused" in out or "error" in out
+        out, _ = api(gui_server, "/api/train/stop", {})
+        assert "ok" in out or "error" in out
