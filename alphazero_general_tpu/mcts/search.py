@@ -28,11 +28,11 @@ def init_batched_trees(env, states, capacity: int, value_size: int):
     return jax.vmap(lambda s: T.init_tree(env, s, capacity, value_size))(states)
 
 
-#: VMEM budget gate for the Pallas walk: the kernel holds three
-#: [N, A, 128] f32 blocks plus ~3-4 temporaries of the same shape
-#: (≈ 7 * N*A*512 bytes) against the 16 MB scoped-VMEM limit → N*A ≲ 4400.
-#: Beyond this, fall back to the vmapped XLA walk (DMA kernel: ROADMAP).
-_PALLAS_MAX_NODE_ACTION = 4096
+#: VMEM budget gate for the Pallas kernels: descent holds five [N, A, 128]
+#: f32 blocks plus temporaries of the same shape against the 16 MB
+#: scoped-VMEM limit; backup holds two plus a temporary. Beyond this, fall
+#: back to the vmapped XLA implementations (DMA kernel: ROADMAP).
+_PALLAS_MAX_NODE_ACTION = 2048
 
 
 def _pick_walk_impl(trees, walk_impl: str) -> str:
@@ -93,18 +93,10 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
         )
     )(trees, pi, jax.random.split(rng_noise, B))
 
-    # The backup kernel only holds [N, 128] columns (no action dimension),
-    # so it stays eligible even when the walk falls back to XLA.
-    if walk_impl == "pallas_interpret":
-        use_pallas_backup = True
-    elif walk_impl == "xla":
-        use_pallas_backup = False
-    else:
-        try:
-            on_tpu = jax.devices()[0].platform != "cpu"
-        except Exception:  # pragma: no cover
-            on_tpu = False
-        use_pallas_backup = on_tpu and B % 128 == 0
+    # The backup kernel maintains the per-edge stat mirrors in VMEM, so it
+    # shares the walk's N*A gate.
+    use_pallas_backup = _pick_walk_impl(trees, walk_impl) in (
+        "pallas", "pallas_interpret")
     if use_pallas_backup:
         from alphazero_general_tpu.ops.backup import backup_batched
 

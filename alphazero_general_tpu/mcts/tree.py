@@ -89,6 +89,12 @@ class Tree:
     v: jnp.ndarray  # float32[N] first-visit net value (own perspective)
     e: jnp.ndarray  # float32[N, value_size] terminal win vector
     player: jnp.ndarray  # int32[N] player to move at the node
+    # Per-edge mirrors of the child's n/q (mctx-style): edge_n[p, a] ==
+    # n[children[p, a]] and likewise for q. Selection reads these as rows —
+    # per-element stat gathers through the child index are catastrophically
+    # slow on TPU for large action spaces.
+    edge_n: jnp.ndarray  # int32[N, A]
+    edge_q: jnp.ndarray  # float32[N, A]
     next_free: jnp.ndarray  # int32 scalar — next unallocated slot
     depth: jnp.ndarray  # int32 scalar — depth of last find_leaf
     max_depth: jnp.ndarray  # int32 scalar — max depth this search
@@ -139,6 +145,8 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
         v=jnp.zeros((rows,), jnp.float32),
         e=jnp.zeros((rows, value_size), jnp.float32),
         player=jnp.zeros((rows,), jnp.int32),
+        edge_n=jnp.zeros((rows, A), jnp.int32),
+        edge_q=jnp.zeros((rows, A), jnp.float32),
         next_free=jnp.int32(1),
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -159,13 +167,11 @@ def _child_scores(tree: Tree, node: jnp.ndarray, spec: SearchSpec,
     """PUCT scores of every action at ``node`` (MCTS.pyx:86-104).
 
     ``tiebreak`` is a tiny uniform perturbation standing in for the
-    reference's child-list shuffle (MCTS.pyx:78-79).
+    reference's child-list shuffle (MCTS.pyx:78-79). Child statistics come
+    from the per-edge mirrors (row reads, no index gathers).
     """
-    child_idx = tree.children[node]
-    exists = child_idx != UNVISITED
-    safe_idx = jnp.where(exists, child_idx, 0)
-    child_n = jnp.where(exists, tree.n[safe_idx], 0)
-    child_q = jnp.where(exists, tree.q[safe_idx], 0.0)
+    child_n = tree.edge_n[node]
+    child_q = tree.edge_q[node]
     p = tree.prior[node]
 
     seen_policy = jnp.sum(jnp.where(child_n > 0, p, 0.0))
@@ -358,14 +364,16 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
     leaf = tree.leaf
     parent = tree.parent
     player = tree.player
+    DUMMY = jnp.int32(tree.dummy)
     max_depth_f = jnp.maximum(tree.max_depth.astype(jnp.float32), 1.0)
+    PATH_MAX = tree.parent.shape[0]  # path length is bounded by node count
 
     def cond(carry):
-        _n, _q, _v, node, _i = carry
+        _n, _q, _v, _path, node, _i = carry
         return node != ROOT
 
     def body(carry):
-        n_col, q_col, v_col, node, i = carry
+        n_col, q_col, v_col, path, node, i = carry
         par = parent[node]
         val = _get_value(value, player[par], spec)
         frac = i.astype(jnp.float32) / max_depth_f
@@ -381,22 +389,38 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
             n_col.at[node].add(1),
             q_col.at[node].set(new_q),
             v_col.at[node].set(new_v),
+            path.at[i].set(node),
             par,
             i + 1,
         )
 
-    n_col, q_col, v_col, _, _ = jax.lax.while_loop(
-        cond, body, (tree.n, tree.q, tree.v, leaf, jnp.int32(0))
+    path0 = jnp.full((PATH_MAX,), DUMMY, jnp.int32)
+    n_col, q_col, v_col, path, _, _ = jax.lax.while_loop(
+        cond, body, (tree.n, tree.q, tree.v, path0, leaf, jnp.int32(0))
     )
     # Root visit increment (MCTS.pyx:289); also set root's own v on first
     # expansion so FPU at the root has a value to reduce from.
     root_v = jnp.where(
         n_col[ROOT] == 0, _get_value(value, player[ROOT], spec), v_col[ROOT]
     )
+    n_col = n_col.at[ROOT].add(1)
+    v_col = v_col.at[ROOT].set(root_v)
+
+    # Refresh the per-edge mirrors for every updated node: one batched
+    # scatter over the recorded path (dummy-routed where unused).
+    on_path = path != DUMMY
+    safe = jnp.where(on_path, path, 0)
+    rows = jnp.where(on_path, parent[safe], DUMMY)
+    cols = jnp.where(on_path, tree.parent_action[safe], 0)
+    edge_n = tree.edge_n.at[rows, cols].set(n_col[safe])
+    edge_q = tree.edge_q.at[rows, cols].set(q_col[safe])
+
     return tree.replace(
-        n=n_col.at[ROOT].add(1),
+        n=n_col,
         q=q_col,
-        v=v_col.at[ROOT].set(root_v),
+        v=v_col,
+        edge_n=edge_n,
+        edge_q=edge_q,
     )
 
 
@@ -485,6 +509,8 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
         v=live(take(tree.v), 0.0),
         e=live(take(tree.e), 0.0),
         player=live(take(tree.player), 0),
+        edge_n=live(take(tree.edge_n), 0),
+        edge_q=live(take(tree.edge_q), 0.0),
         next_free=count,
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -508,10 +534,7 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
 # ---------------------------------------------------------------------------
 
 def counts(tree: Tree) -> jnp.ndarray:
-    child_idx = tree.children[ROOT]
-    exists = child_idx != UNVISITED
-    safe = jnp.where(exists, child_idx, 0)
-    return jnp.where(exists, tree.n[safe], 0)
+    return tree.edge_n[ROOT]
 
 
 def probs(tree: Tree, temp: jnp.ndarray) -> jnp.ndarray:
@@ -538,11 +561,7 @@ def best_action(tree: Tree) -> jnp.ndarray:
 
 def root_value(tree: Tree, average: bool = False) -> jnp.ndarray:
     """Max (or mean) q over visited root children (MCTS.pyx:329-344)."""
-    child_idx = tree.children[ROOT]
-    exists = child_idx != UNVISITED
-    safe = jnp.where(exists, child_idx, 0)
-    child_n = jnp.where(exists, tree.n[safe], 0)
-    child_q = jnp.where(exists & (child_n > 0), tree.q[safe], 0.0)
+    child_q = jnp.where(tree.edge_n[ROOT] > 0, tree.edge_q[ROOT], 0.0)
     if average:
         return jnp.sum(child_q) / jnp.maximum(jnp.sum(tree.valids[ROOT]), 1)
     return jnp.max(child_q)

@@ -2,9 +2,9 @@
 
 Fuses the leaf-to-root value propagation (mcts/tree.py `backup`,
 MCTS.pyx:260-289) for a 128-game lane block into one program: n/q/v columns
-are updated in place (input/output aliased), node indexing is masked
-reduction over the node axis, the walk loop runs on-chip. Terminal-value
-resolution and prior installation stay in XLA (cheap row ops).
+and the per-edge stat mirrors are updated in place in VMEM, node indexing is
+masked reduction over the node axis, the walk loop runs on-chip.
+Terminal-value resolution and prior installation stay in XLA (cheap row ops).
 """
 
 from __future__ import annotations
@@ -21,21 +21,26 @@ from alphazero_general_tpu.mcts.tree import DRAW_VALUE, SearchSpec
 LANES = 128
 
 
-def _backup_kernel(parent_ref, player_ref, leaf_ref, value_ref, maxd_ref,
-                   n_in, q_in, v_in, n_io, q_io, v_io, *, spec: SearchSpec,
-                   num_nodes: int):
-    N = num_nodes
+def _backup_kernel(parent_ref, player_ref, pact_ref, leaf_ref, value_ref,
+                   maxd_ref, n_in, q_in, v_in, en_in, eq_in,
+                   n_io, q_io, v_io, en_io, eq_io, *, spec: SearchSpec,
+                   num_nodes: int, num_actions: int):
+    N, A = num_nodes, num_actions
     V = spec.value_size
     iota_nl = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
+    iota_al = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
     iota_vl = jax.lax.broadcasted_iota(jnp.int32, (V, LANES), 0)
 
     parent = parent_ref[...]
     player = player_ref[...]
+    pact = pact_ref[...]
     value = value_ref[...]  # [V, LANES]
     maxd = maxd_ref[...]  # [1, LANES] f32
     n_io[...] = n_in[...]
     q_io[...] = q_in[...]
     v_io[...] = v_in[...]
+    en_io[...] = en_in[...]
+    eq_io[...] = eq_in[...]
 
     def get_i(arr, idx):  # arr [N, L] i32, idx [1, L] → [1, L] i32
         sel = (iota_nl == idx).astype(jnp.int32)
@@ -62,6 +67,7 @@ def _backup_kernel(parent_ref, player_ref, leaf_ref, value_ref, maxd_ref,
         node, i = carry
         active = node != 0
         par = get_i(parent, node)
+        pa = get_i(pact, node)
         val = value_at(get_i(player, par))
         frac = i.astype(jnp.float32) / maxd
         discount = jnp.exp(frac * log_md)
@@ -73,11 +79,20 @@ def _backup_kernel(parent_ref, player_ref, leaf_ref, value_ref, maxd_ref,
         new_q = (q_node * n_node + val * discount) / (n_node + 1.0)
         own_v = value_at(get_i(player, node))
         new_v = jnp.where(n_node < 0.5, own_v, get_f(v_io[...], node))
+        new_n = n_node + 1.0
 
         onehot = (iota_nl == node) & active
         q_io[...] = jnp.where(onehot, new_q, q_io[...])
         v_io[...] = jnp.where(onehot, new_v, v_io[...])
         n_io[...] = jnp.where(onehot, n_io[...] + 1, n_io[...])
+
+        # Per-edge mirrors: the edge (parent → parent_action) now reflects
+        # the child's updated stats.
+        esel = ((iota_nl == par)[:, None, :]
+                & (iota_al == pa)[None, :, :]
+                & active[None])
+        en_io[...] = jnp.where(esel, new_n.astype(jnp.int32)[None], en_io[...])
+        eq_io[...] = jnp.where(esel, new_q[None], eq_io[...])
 
         node = jnp.where(active, par, node)
         i = i + active.astype(jnp.int32)
@@ -95,65 +110,77 @@ def _backup_kernel(parent_ref, player_ref, leaf_ref, value_ref, maxd_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def backup_batched_pallas(parent, player, leaf, value, max_depth, n, q, v,
-                          spec: SearchSpec, interpret: bool = False):
-    """Batched backup. Batch-major inputs (as held by the vmapped Tree):
+def backup_batched_pallas(parent, player, pact, leaf, value, max_depth, n, q,
+                          v, edge_n, edge_q, spec: SearchSpec,
+                          interpret: bool = False):
+    """Batched backup. Batch-major inputs (as held by the vmapped Tree).
 
-      parent/player/n/q/v: [B, N];  leaf: [B];  value: [B, V];
-      max_depth: [B] (int)
-
-    Returns updated (n, q, v) each [B, N].
+    Returns updated (n, q, v, edge_n, edge_q).
     """
     B, N = parent.shape
     assert B % LANES == 0
-    V = value.shape[1]
-    del V
+    A = edge_n.shape[2]
 
     pt = jnp.transpose(parent, (1, 0))
     plt_ = jnp.transpose(player, (1, 0))
+    pat = jnp.transpose(pact, (1, 0))
     vt = jnp.transpose(value, (1, 0))
     nt = jnp.transpose(n, (1, 0))
     qt = jnp.transpose(q, (1, 0))
     vvt = jnp.transpose(v, (1, 0))
+    ent = jnp.transpose(edge_n, (1, 2, 0))
+    eqt = jnp.transpose(edge_q, (1, 2, 0))
     leaf2 = leaf[None, :]
     maxd = jnp.maximum(max_depth.astype(jnp.float32), 1.0)[None, :]
 
     grid = (B // LANES,)
-    kernel = functools.partial(_backup_kernel, spec=spec, num_nodes=N)
+    kernel = functools.partial(_backup_kernel, spec=spec, num_nodes=N,
+                               num_actions=A)
 
-    def spec_nl():
+    def nl():
         return pl.BlockSpec((N, LANES), lambda g: (0, g),
                             memory_space=pltpu.VMEM)
 
-    def spec_1l(rows=1):
+    def nal():
+        return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
+                            memory_space=pltpu.VMEM)
+
+    def rl(rows=1):
         return pl.BlockSpec((rows, LANES), lambda g: (0, g),
                             memory_space=pltpu.VMEM)
 
-    n2, q2, v2 = pl.pallas_call(
+    n2, q2, v2, en2, eq2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            spec_nl(),  # parent
-            spec_nl(),  # player
-            spec_1l(),  # leaf
-            spec_1l(value.shape[1]),  # value
-            spec_1l(),  # maxd
-            spec_nl(),  # n
-            spec_nl(),  # q
-            spec_nl(),  # v
+            nl(),  # parent
+            nl(),  # player
+            nl(),  # parent_action
+            rl(),  # leaf
+            rl(value.shape[1]),  # value
+            rl(),  # maxd
+            nl(),  # n
+            nl(),  # q
+            nl(),  # v
+            nal(),  # edge_n
+            nal(),  # edge_q
         ],
-        out_specs=(spec_nl(), spec_nl(), spec_nl()),
+        out_specs=(nl(), nl(), nl(), nal(), nal()),
         out_shape=(
             jax.ShapeDtypeStruct((N, B), jnp.int32),
             jax.ShapeDtypeStruct((N, B), jnp.float32),
             jax.ShapeDtypeStruct((N, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, A, B), jnp.int32),
+            jax.ShapeDtypeStruct((N, A, B), jnp.float32),
         ),
         interpret=interpret,
-    )(pt, plt_, leaf2, vt, maxd, nt, qt, vvt)
+    )(pt, plt_, pat, leaf2, vt, maxd, nt, qt, vvt, ent, eqt)
     return (
         jnp.transpose(n2, (1, 0)),
         jnp.transpose(q2, (1, 0)),
         jnp.transpose(v2, (1, 0)),
+        jnp.transpose(en2, (2, 0, 1)),
+        jnp.transpose(eq2, (2, 0, 1)),
     )
 
 
@@ -162,8 +189,9 @@ def backup_batched(trees, values, spec: SearchSpec, interpret: bool = False):
 
     ``values`` must already be terminal-resolved (tree.resolve_value).
     """
-    n, q, v = backup_batched_pallas(
-        trees.parent, trees.player, trees.leaf, values, trees.max_depth,
-        trees.n, trees.q, trees.v, spec, interpret=interpret,
+    n, q, v, edge_n, edge_q = backup_batched_pallas(
+        trees.parent, trees.player, trees.parent_action, trees.leaf, values,
+        trees.max_depth, trees.n, trees.q, trees.v, trees.edge_n,
+        trees.edge_q, spec, interpret=interpret,
     )
-    return trees.replace(n=n, q=q, v=v)
+    return trees.replace(n=n, q=q, v=v, edge_n=edge_n, edge_q=edge_q)

@@ -7,7 +7,9 @@ is ~100x cheaper than the walk). This kernel fuses the complete walk for a
 block of games into one program: tree arrays live in VMEM in game-minor
 layout ([N, A, LANES] — games ride the 128-wide lane dimension), per-lane
 dynamic node indexing is expressed as masked reductions over the node axis,
-and the while loop runs entirely on-chip.
+and the while loop runs entirely on-chip. Child statistics come from the
+per-edge mirrors (tree.edge_n / tree.edge_q), so no per-element index
+gathers appear anywhere.
 
 Semantics are identical to `descend` (MCTS.pyx:208-217): PUCT with
 FPU-reduction from seen policy, stop at an unallocated edge or terminal
@@ -30,25 +32,24 @@ NEG_INF = -3.0e38
 UNVISITED = -1  # plain int: jnp scalars would be captured consts in the kernel
 
 
-def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
-                    eany_ref, tiebreak_ref, out_ref, *, spec: SearchSpec,
-                    num_nodes: int, num_actions: int):
+def _descend_kernel(children_ref, prior_ref, valids_ref, edge_n_ref,
+                    edge_q_ref, n_ref, v_ref, eany_ref, tiebreak_ref, out_ref,
+                    *, spec: SearchSpec, num_nodes: int, num_actions: int):
     N, A = num_nodes, num_actions
-    node_iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1, LANES), 0)
+    node_iota1 = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
     node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 0)
 
     n_all = n_ref[...]  # [N, LANES] i32
-    q_all = q_ref[...]
     eany_all = eany_ref[...]  # [N, LANES] f32 (1.0 = terminal)
-    children_all = children_ref[...]  # [N, A, LANES] i32
-    prior_all = prior_ref[...]
-    valids_all = valids_ref[...]  # f32 0/1
     tiebreak = tiebreak_ref[...]  # [A, LANES]
 
     root_n = n_all[0]  # [LANES]
     root_eany = eany_all[0]
     # done carried as int32 0/1 — Mosaic mis-lays-out i1 while-loop carries.
     init_done = ((root_n == 0) | (root_eany > 0.5)).astype(jnp.int32)
+
+    def row(ref, sel3):
+        return jnp.sum(ref[...] * sel3, axis=0)  # [A, LANES]
 
     def cond(carry):
         _node, _action, _child, _depth, done = carry
@@ -57,26 +58,16 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
     def body(carry):
         node, action, child, depth, done_i = carry  # each [1, LANES] i32
         done = done_i > 0
-        sel = (node_iota2 == node[None]).astype(jnp.float32)  # [N, A, LANES]
-        row_child = jnp.sum(
-            children_all.astype(jnp.float32) * sel, axis=0
-        ).astype(jnp.int32)  # [A, LANES]
-        row_prior = jnp.sum(prior_all * sel, axis=0)
-        row_valid = jnp.sum(valids_all * sel, axis=0)
+        sel3 = (node_iota2 == node[None]).astype(jnp.float32)  # [N, A, LANES]
+        child_n = row(edge_n_ref, sel3)  # f32 via mul? keep i32→f32
+        row_prior = row(prior_ref, sel3)
+        row_valid = row(valids_ref, sel3)
+        child_q = row(edge_q_ref, sel3)
 
-        sel1 = (node_iota == node[None]).astype(jnp.float32)  # [N, 1, LANES]
-        cur_n = jnp.sum(n_all[:, None, :].astype(jnp.float32) * sel1, axis=0)
-        cur_v = jnp.sum(v_ref[...][:, None, :] * sel1, axis=0)  # [1, LANES]
-
-        exists = row_child != UNVISITED
-        child_sel = (node_iota2 == row_child[None]).astype(jnp.float32)
-        child_n = jnp.sum(
-            n_all[:, None, :].astype(jnp.float32) * child_sel, axis=0
-        )
-        child_q = jnp.sum(q_all[:, None, :] * child_sel, axis=0)
-        child_eany = jnp.sum(eany_all[:, None, :] * child_sel, axis=0)
-        child_n = jnp.where(exists, child_n, 0.0)
-        child_q = jnp.where(exists, child_q, 0.0)
+        sel1 = (node_iota1 == node).astype(jnp.float32)  # [N, LANES]
+        cur_n = jnp.sum(n_all.astype(jnp.float32) * sel1, axis=0,
+                        keepdims=True)  # [1, LANES]
+        cur_v = jnp.sum(v_ref[...] * sel1, axis=0, keepdims=True)
 
         # PUCT scores (MCTS.pyx:86-104).
         seen_policy = jnp.sum(
@@ -95,12 +86,13 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
         a_sel = (
             jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0) == best
         ).astype(jnp.float32)
-        best_child = jnp.sum(
-            row_child.astype(jnp.float32) * a_sel, axis=0, keepdims=True
-        ).astype(jnp.int32)
+        row_child = row(children_ref, sel3)  # f32 child indices
+        best_child = jnp.sum(row_child * a_sel, axis=0,
+                             keepdims=True).astype(jnp.int32)
         best_exists = best_child != UNVISITED
+        csel = (node_iota1 == best_child).astype(jnp.float32)
         best_terminal = best_exists & (
-            jnp.sum(child_eany * a_sel, axis=0, keepdims=True) > 0.5
+            jnp.sum(eany_all * csel, axis=0, keepdims=True) > 0.5
         )
 
         step_done = jnp.logical_not(best_exists) | best_terminal
@@ -127,25 +119,25 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def descend_batched_pallas(children, prior, valids, n, q, v, eany, tiebreak,
-                           spec: SearchSpec, interpret: bool = False):
+def descend_batched_pallas(children, prior, valids, edge_n, edge_q, n, v,
+                           eany, tiebreak, spec: SearchSpec,
+                           interpret: bool = False):
     """Batched walk. Inputs are the batched tree arrays (batch-major, as held
-    by the vmapped Tree) — transposed here to game-minor layout:
-
-      children/prior/valids: [B, N, A] → [N, A, B]
-      n/q/v/eany:            [B, N]    → [N, B]
-      tiebreak:              [B, A]    → [A, B]
+    by the vmapped Tree) — transposed here to game-minor layout.
 
     Returns (node, action, child, depth) each int32[B].
     """
     B, N, A = children.shape
     assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
 
-    ct = jnp.transpose(children, (1, 2, 0))
+    # All [N, A, B] inputs as f32 so in-kernel masked reductions stay on the
+    # VPU's native type (child indices round-trip exactly below 2^24).
+    ct = jnp.transpose(children, (1, 2, 0)).astype(jnp.float32)
     pt = jnp.transpose(prior, (1, 2, 0))
     vt = jnp.transpose(valids.astype(jnp.float32), (1, 2, 0))
+    ent = jnp.transpose(edge_n, (1, 2, 0)).astype(jnp.float32)
+    eqt = jnp.transpose(edge_q, (1, 2, 0))
     nt = jnp.transpose(n, (1, 0))
-    qt = jnp.transpose(q, (1, 0))
     vvt = jnp.transpose(v, (1, 0))
     et = jnp.transpose(eany.astype(jnp.float32), (1, 0))
     tt = jnp.transpose(tiebreak, (1, 0))
@@ -154,32 +146,35 @@ def descend_batched_pallas(children, prior, valids, n, q, v, eany, tiebreak,
     kernel = functools.partial(
         _descend_kernel, spec=spec, num_nodes=N, num_actions=A
     )
+
+    def nab():
+        return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
+                            memory_space=pltpu.VMEM)
+
+    def nb():
+        return pl.BlockSpec((N, LANES), lambda g: (0, g),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),
+            nab(),  # children
+            nab(),  # prior
+            nab(),  # valids
+            nab(),  # edge_n
+            nab(),  # edge_q
+            nb(),   # n
+            nb(),   # v
+            nb(),   # eany
             pl.BlockSpec((A, LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),  # tiebreak
         ],
         out_specs=pl.BlockSpec((4, LANES), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
         interpret=interpret,
-    )(ct, pt, vt, nt, qt, vvt, et, tt)
+    )(ct, pt, vt, ent, eqt, nt, vvt, et, tt)
     return out[0], out[1], out[2], out[3]
 
 
@@ -192,7 +187,8 @@ def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
     eany = jnp.any(trees.e > 0, axis=-1)
     node, action, child, depth = descend_batched_pallas(
         trees.children, trees.prior, trees.valids.astype(jnp.float32),
-        trees.n, trees.q, trees.v, eany, tiebreak, spec, interpret=interpret,
+        trees.edge_n, trees.edge_q, trees.n, trees.v, eany, tiebreak, spec,
+        interpret=interpret,
     )
     skip_walk = (trees.n[:, 0] == 0) | eany[:, 0]
     depth = jnp.where(skip_walk, 0, depth)
