@@ -43,6 +43,7 @@ def _load_builtins() -> None:
         "gobang",
         "tafl",
         "stratego",
+        "chess",
     ):
         try:
             m = importlib.import_module(f"alphazero_general_tpu.envs.{mod}")

@@ -105,8 +105,26 @@ STRATEGO = dict(
     depth=8,
 )
 
+# chess (the reference's is a non-functional stub, chess.py:82-92; these are
+# sensible defaults for the 4672-action space, not reference-tuned).
+CHESS = dict(
+    run_name="chess",
+    process_batch_size=256,
+    gamesPerIteration=1024,
+    numMCTSSims=200,
+    numFastSims=40,
+    num_channels=128,
+    depth=10,
+    cpuct=2.5,
+    fpu_reduction=0.4,
+    symmetricSamples=False,
+    value_dense_layers=[2048, 256],
+    policy_dense_layers=[2048, 1024],
+)
+
 PRESETS = {
     "connect4": CONNECT4,
+    "chess": CHESS,
     "tictactoe": TICTACTOE,
     "othello": OTHELLO,
     "gobang": GOBANG,

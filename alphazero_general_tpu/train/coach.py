@@ -201,12 +201,14 @@ class Coach:
                 break
 
             if self.args.compareWithBaseline and \
+                    int(self.args.arenaCompareBaseline) > 0 and \
                     (self.model_iter - 1) % self.args.baselineCompareFreq == 0:
                 self.compare_to_baseline(self.model_iter)
                 if self.stop_train.is_set():
                     break
 
             if self.args.compareWithPast and \
+                    int(self.args.arenaCompare) > 0 and \
                     (self.model_iter - 1) % self.args.pastCompareFreq == 0:
                 self.compare_to_past(self.model_iter)
                 if self.stop_train.is_set():
