@@ -38,7 +38,8 @@ _PALLAS_MAX_NODE_ACTION = 2048
 def _pick_walk_impl(trees, walk_impl: str) -> str:
     if walk_impl != "auto":
         return walk_impl
-    B, N, A = trees.children.shape
+    B, N = trees.n.shape
+    A = trees.num_actions
     try:
         on_tpu = jax.devices()[0].platform != "cpu"
     except Exception:  # pragma: no cover
@@ -70,7 +71,7 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
     implementation performs the PUCT descent (identical semantics).
     """
     B = trees.n.shape[0]
-    A = trees.children.shape[-1]
+    A = trees.num_actions
     rng_find, rng_noise = jax.random.split(rng)
     tiebreaks = jax.vmap(
         lambda k: jax.random.uniform(k, (A,)) * 1e-6

@@ -10,6 +10,16 @@ SelfPlayAgent.pyx:103-151) collapses into `simulate_step`: leaves for every
 game are found, evaluated in a single batched network call, and backed up —
 all inside the same compiled program, no processes/queues/shared tensors.
 
+Memory layout (TPU-critical): per-node row arrays (children, priors, valids,
+edge stats, env-state snapshots, terminal vectors) are stored **flattened to
+one axis per game** — ``children`` is ``int32[(N)*A]``, a node's row is
+``lax.dynamic_slice`` at ``node*A``. Under ``vmap`` the batched buffers are
+2-D ``[B, N*A]``, which tile cleanly onto the TPU's (8,128)/(32,128) memory
+tiles. The naive ``[B, N, A]`` layout pads the minor A axis to 128 lanes —
+an 18x physical blow-up for connect4 (A=7) that made every carried-tree copy
+and fusion read ~20x more HBM than the logical data (measured: 2.4x
+end-to-end self-play throughput from this change alone).
+
 Feature parity checklist vs MCTS.pyx (SURVEY.md §2.1):
   * PUCT with FPU reduction from seen policy      (MCTS.pyx:86-104)
   * random tie-breaking between equal children    (MCTS.pyx:76-79, via noise)
@@ -70,35 +80,43 @@ class SearchSpec(NamedTuple):
 class Tree:
     """Fixed-capacity search tree for ONE game (batch via vmap).
 
-    Node 0 is the root. ``children[n, a] == UNVISITED`` until the (n, a) edge
-    is first traversed; node slots are allocated in visit order from
-    ``next_free``. Per-node stats mirror the reference Node fields
-    (MCTS.pyx:49-71): ``n``/``q``/``v``/``p``(dense prior row)/``player``/``e``.
+    Node 0 is the root. ``children`` holds node indices per (node, action)
+    edge, UNVISITED until first traversed; node slots are allocated in visit
+    order from ``next_free``. Per-node stats mirror the reference Node fields
+    (MCTS.pyx:49-71): ``n``/``q``/``v``/``prior``/``player``/``e``.
+
+    Row arrays are flat (see module docstring): element (node, a) of
+    ``children``/``valids``/``prior``/``edge_n``/``edge_q`` lives at index
+    ``node * num_actions + a``; node ``i``'s terminal vector is
+    ``e[i*value_size : (i+1)*value_size]``; each ``node_state`` leaf of
+    per-node size S is ``[rows * S]``.
     """
 
-    # Env state snapshot per node (stacked pytree) — replaces the reference's
-    # re-cloning of GameState along the path (MCTS.pyx:211-217).
+    # Env state snapshot per node (stacked, flattened pytree) — replaces the
+    # reference's re-cloning of GameState along the path (MCTS.pyx:211-217).
     node_state: object
     parent: jnp.ndarray  # int32[N]
     parent_action: jnp.ndarray  # int32[N]
-    children: jnp.ndarray  # int32[N, A]
-    valids: jnp.ndarray  # bool[N, A]
-    prior: jnp.ndarray  # float32[N, A]
+    children: jnp.ndarray  # int32[N*A]
+    valids: jnp.ndarray  # bool[N*A]
+    prior: jnp.ndarray  # float32[N*A]
     n: jnp.ndarray  # int32[N] visit counts
     q: jnp.ndarray  # float32[N] mean backed-up value (parent's perspective)
     v: jnp.ndarray  # float32[N] first-visit net value (own perspective)
-    e: jnp.ndarray  # float32[N, value_size] terminal win vector
+    e: jnp.ndarray  # float32[N*value_size] terminal win vectors
     player: jnp.ndarray  # int32[N] player to move at the node
-    # Per-edge mirrors of the child's n/q (mctx-style): edge_n[p, a] ==
-    # n[children[p, a]] and likewise for q. Selection reads these as rows —
+    # Per-edge mirrors of the child's n/q (mctx-style): edge_n[p*A + a] ==
+    # n[children[p*A + a]] and likewise for q. Selection reads these as rows —
     # per-element stat gathers through the child index are catastrophically
     # slow on TPU for large action spaces.
-    edge_n: jnp.ndarray  # int32[N, A]
-    edge_q: jnp.ndarray  # float32[N, A]
+    edge_n: jnp.ndarray  # int32[N*A]
+    edge_q: jnp.ndarray  # float32[N*A]
     next_free: jnp.ndarray  # int32 scalar — next unallocated slot
     depth: jnp.ndarray  # int32 scalar — depth of last find_leaf
     max_depth: jnp.ndarray  # int32 scalar — max depth this search
     leaf: jnp.ndarray  # int32 scalar — node index of the pending leaf
+    num_actions: int = struct.field(pytree_node=False, default=0)
+    value_size: int = struct.field(pytree_node=False, default=3)
 
     @property
     def capacity(self) -> int:
@@ -111,7 +129,61 @@ class Tree:
 
     @property
     def action_size(self) -> int:
-        return self.children.shape[1]
+        return self.num_actions
+
+
+def _size_of(template_leaf) -> int:
+    return int(np.prod(jnp.shape(template_leaf), dtype=np.int64)) or 1
+
+
+def _row(buf: jnp.ndarray, idx, size: int) -> jnp.ndarray:
+    """Slice row ``idx`` out of a flat row array.
+
+    Expressed as a leading-axis take on a reshaped 2-D view — NOT as
+    ``dynamic_slice`` at offset ``idx*size``: XLA lowers vmapped
+    arbitrary-offset window gathers to a serial per-game loop on TPU
+    (measured 8x end-to-end regression), while whole-row takes hit the fast
+    gather path. The reshape stays inside the surrounding fusion; only the
+    carried flat buffer is materialized.
+    """
+    return buf.reshape(-1, size)[idx]
+
+
+#: Row writes on buffers at or below this element count use a dense one-hot
+#: select instead of a scatter. Scatters of sub-tile rows into small tiled
+#: buffers lower to read-modify-write tile loops plus a layout copy of the
+#: whole buffer per sim (profiled: the three `copy_bitcast_fusion` ops that
+#: dominated the non-net time); a dense select is one fused vector pass. For
+#: large-action or deep arenas (tafl/chess: N*A ~ 600k) the dense pass would
+#: read megabytes per game per sim, so big buffers keep the row scatter.
+_DENSE_SET_MAX_ELEMS = 16384
+
+
+def _set_row(buf: jnp.ndarray, idx, row: jnp.ndarray) -> jnp.ndarray:
+    size = row.shape[0]
+    rows = buf.shape[0] // size
+    b2 = buf.reshape(rows, size)
+    if buf.shape[0] <= _DENSE_SET_MAX_ELEMS:
+        onehot = (jax.lax.iota(jnp.int32, rows) == idx)[:, None]
+        return jnp.where(onehot, row[None, :].astype(buf.dtype),
+                         b2).reshape(buf.shape)
+    return b2.at[idx].set(row).reshape(buf.shape)
+
+
+def gather_state(env, tree: Tree, idx):
+    """Reconstruct the env-state pytree stored at node ``idx``."""
+    template = env.init()
+    return jax.tree_util.tree_map(
+        lambda buf, t: _row(buf, idx, _size_of(t)).reshape(jnp.shape(t)),
+        tree.node_state, template,
+    )
+
+
+def _scatter_state(tree_node_state, state, idx):
+    return jax.tree_util.tree_map(
+        lambda buf, x: _set_row(buf, idx, jnp.ravel(x)),
+        tree_node_state, state,
+    )
 
 
 def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
@@ -127,30 +199,30 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
     A = env.ACTION_SIZE
     rows = capacity + 1  # last row is the dummy write sink
     node_state = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((rows,) + jnp.shape(x), jnp.asarray(x).dtype),
+        lambda x: jnp.zeros((rows * _size_of(x),), jnp.asarray(x).dtype),
         root_state,
     )
-    node_state = jax.tree_util.tree_map(
-        lambda buf, x: buf.at[0].set(x), node_state, root_state
-    )
+    node_state = _scatter_state(node_state, root_state, 0)
     return Tree(
         node_state=node_state,
         parent=jnp.full((rows,), UNVISITED, jnp.int32),
         parent_action=jnp.full((rows,), UNVISITED, jnp.int32),
-        children=jnp.full((rows, A), UNVISITED, jnp.int32),
-        valids=jnp.zeros((rows, A), jnp.bool_),
-        prior=jnp.zeros((rows, A), jnp.float32),
+        children=jnp.full((rows * A,), UNVISITED, jnp.int32),
+        valids=jnp.zeros((rows * A,), jnp.bool_),
+        prior=jnp.zeros((rows * A,), jnp.float32),
         n=jnp.zeros((rows,), jnp.int32),
         q=jnp.zeros((rows,), jnp.float32),
         v=jnp.zeros((rows,), jnp.float32),
-        e=jnp.zeros((rows, value_size), jnp.float32),
+        e=jnp.zeros((rows * value_size,), jnp.float32),
         player=jnp.zeros((rows,), jnp.int32),
-        edge_n=jnp.zeros((rows, A), jnp.int32),
-        edge_q=jnp.zeros((rows, A), jnp.float32),
+        edge_n=jnp.zeros((rows * A,), jnp.int32),
+        edge_q=jnp.zeros((rows * A,), jnp.float32),
         next_free=jnp.int32(1),
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
         leaf=ROOT,
+        num_actions=A,
+        value_size=value_size,
     )
 
 
@@ -170,9 +242,11 @@ def _child_scores(tree: Tree, node: jnp.ndarray, spec: SearchSpec,
     reference's child-list shuffle (MCTS.pyx:78-79). Child statistics come
     from the per-edge mirrors (row reads, no index gathers).
     """
-    child_n = tree.edge_n[node]
-    child_q = tree.edge_q[node]
-    p = tree.prior[node]
+    A = tree.num_actions
+    child_n = _row(tree.edge_n, node, A)
+    child_q = _row(tree.edge_q, node, A)
+    p = _row(tree.prior, node, A)
+    valid = _row(tree.valids, node, A)
 
     seen_policy = jnp.sum(jnp.where(child_n > 0, p, 0.0))
     fpu_value = tree.v[node] - spec.fpu_reduction * jnp.sqrt(seen_policy)
@@ -181,7 +255,7 @@ def _child_scores(tree: Tree, node: jnp.ndarray, spec: SearchSpec,
     value_term = jnp.where(child_n > 0, child_q, fpu_value)
     explore = spec.cpuct * p * sqrt_n / (1.0 + child_n.astype(jnp.float32))
     scores = value_term + explore + tiebreak
-    return jnp.where(tree.valids[node], scores, -jnp.inf)
+    return jnp.where(valid, scores, -jnp.inf)
 
 
 def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
@@ -193,8 +267,10 @@ def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
     scalar selects, not tree copies. The batched Pallas twin lives in
     ops/descend.py.
     """
+    A = tree.num_actions
+    V = tree.value_size
     root_unexpanded = tree.n[ROOT] == 0
-    root_terminal = jnp.any(tree.e[ROOT] > 0)
+    root_terminal = jnp.any(tree.e[:V] > 0)
     skip_walk = root_unexpanded | root_terminal
 
     def cond(carry):
@@ -205,14 +281,14 @@ def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
         node, _action, _child, depth, _done = carry
         scores = _child_scores(tree, node, spec, tiebreak)
         action = jnp.argmax(scores).astype(jnp.int32)
-        child = tree.children[node, action]
+        child = tree.children.reshape(-1, A)[node, action]
         exists = child != UNVISITED
         safe_child = jnp.where(exists, child, 0)
         # Existing children always have n > 0 (a node is visited by the same
         # simulation that allocates it), so the walk stops at an unallocated
         # edge or a terminal child (the reference's n>0 / e.any() conditions,
         # MCTS.pyx:213).
-        child_terminal = exists & jnp.any(tree.e[safe_child] > 0)
+        child_terminal = exists & jnp.any(_row(tree.e, safe_child, V) > 0)
         done = ~exists | child_terminal
         next_node = jnp.where(done & ~exists, node, child)
         return next_node, action, child, depth + 1, done
@@ -230,24 +306,23 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk) -> Tree:
     find_leaf, as unconditional single-row scatters routed to the dummy sink
     when inactive."""
     DUMMY = jnp.int32(tree.dummy)
+    A = tree.num_actions
 
     # ---- allocation (masked single-row scatters) ---------------------------
     need_alloc = (child == UNVISITED) & ~skip_walk
     slot = jnp.where(need_alloc, tree.next_free, DUMMY)
-    parent_state = jax.tree_util.tree_map(
-        lambda buf: buf[node], tree.node_state
-    )
+    parent_state = gather_state(env, tree, node)
     child_state = env.step(parent_state, action)
-    node_state = jax.tree_util.tree_map(
-        lambda buf, x: buf.at[slot].set(x), tree.node_state, child_state
-    )
+    node_state = _scatter_state(tree.node_state, child_state, slot)
     edge_row = jnp.where(need_alloc, node, DUMMY)
     edge_col = jnp.where(need_alloc, action, 0)
+    children = (tree.children.reshape(-1, A).at[edge_row, edge_col].set(slot)
+                .reshape(tree.children.shape))
     tree = tree.replace(
         node_state=node_state,
         parent=tree.parent.at[slot].set(node),
         parent_action=tree.parent_action.at[slot].set(action),
-        children=tree.children.at[edge_row, edge_col].set(slot),
+        children=children,
         next_free=tree.next_free + need_alloc.astype(jnp.int32),
     )
 
@@ -258,14 +333,12 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk) -> Tree:
     tree = tree.replace(depth=depth, max_depth=max_depth, leaf=leaf)
 
     # ---- expansion: player / terminal vector / valids (MCTS.pyx:223-226) ---
-    leaf_state = jax.tree_util.tree_map(
-        lambda buf: buf[leaf], tree.node_state
-    )
+    leaf_state = gather_state(env, tree, leaf)
     expand_row = jnp.where(tree.n[leaf] == 0, leaf, DUMMY)
     tree = tree.replace(
         player=tree.player.at[expand_row].set(leaf_state.player),
-        e=tree.e.at[expand_row].set(env.win_state(leaf_state)),
-        valids=tree.valids.at[expand_row].set(env.valid_moves(leaf_state)),
+        e=_set_row(tree.e, expand_row, env.win_state(leaf_state)),
+        valids=_set_row(tree.valids, expand_row, env.valid_moves(leaf_state)),
     )
     return tree
 
@@ -279,21 +352,21 @@ def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
     randomly (the reference shuffles children at expansion, MCTS.pyx:78-79)
     without an RNG call per depth step.
     """
-    tiebreak = jax.random.uniform(rng, (tree.action_size,)) * 1e-6
+    tiebreak = jax.random.uniform(rng, (tree.num_actions,)) * 1e-6
     node, action, child, depth, skip_walk = descend(tree, spec, tiebreak)
     return apply_walk(env, tree, node, action, child, depth, skip_walk)
 
 
 def leaf_observation(env, tree: Tree) -> jnp.ndarray:
-    leaf_state = jax.tree_util.tree_map(lambda buf: buf[tree.leaf], tree.node_state)
-    return env.observation(leaf_state)
+    return env.observation(gather_state(env, tree, tree.leaf))
 
 
 def resolve_value(tree: Tree, value: jnp.ndarray) -> jnp.ndarray:
     """Terminal leaves back up their stored result instead of the network
     value (MCTS.pyx:234-235)."""
-    is_terminal = jnp.any(tree.e[tree.leaf] > 0)
-    return jnp.where(is_terminal, tree.e[tree.leaf], value)
+    e_leaf = _row(tree.e, tree.leaf, tree.value_size)
+    is_terminal = jnp.any(e_leaf > 0)
+    return jnp.where(is_terminal, e_leaf, value)
 
 
 def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
@@ -315,10 +388,11 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
     if add_root_temp is None:
         add_root_temp = spec.add_root_temp
     leaf = tree.leaf
+    A = tree.num_actions
     DUMMY = jnp.int32(tree.dummy)
-    is_terminal = jnp.any(tree.e[leaf] > 0)
+    is_terminal = jnp.any(_row(tree.e, leaf, tree.value_size) > 0)
 
-    valids = tree.valids[leaf]
+    valids = _row(tree.valids, leaf, A)
     masked = jnp.where(valids, pi, 0.0)
     norm = jnp.sum(masked)
     masked = jnp.where(norm > 0, masked / norm,
@@ -352,7 +426,7 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
     else:
         new_prior = masked
     prior_row = jnp.where(is_terminal, DUMMY, leaf)
-    return tree.replace(prior=tree.prior.at[prior_row].set(new_prior))
+    return tree.replace(prior=_set_row(tree.prior, prior_row, new_prior))
 
 
 def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
@@ -364,6 +438,7 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
     leaf = tree.leaf
     parent = tree.parent
     player = tree.player
+    A = tree.num_actions
     DUMMY = jnp.int32(tree.dummy)
     max_depth_f = jnp.maximum(tree.max_depth.astype(jnp.float32), 1.0)
     PATH_MAX = tree.parent.shape[0]  # path length is bounded by node count
@@ -412,8 +487,10 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
     safe = jnp.where(on_path, path, 0)
     rows = jnp.where(on_path, parent[safe], DUMMY)
     cols = jnp.where(on_path, tree.parent_action[safe], 0)
-    edge_n = tree.edge_n.at[rows, cols].set(n_col[safe])
-    edge_q = tree.edge_q.at[rows, cols].set(q_col[safe])
+    edge_n = (tree.edge_n.reshape(-1, A).at[rows, cols].set(n_col[safe])
+              .reshape(tree.edge_n.shape))
+    edge_q = (tree.edge_q.reshape(-1, A).at[rows, cols].set(q_col[safe])
+              .reshape(tree.edge_q.shape))
 
     return tree.replace(
         n=n_col,
@@ -450,9 +527,14 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
     result is an empty tree rooted at the stepped state. Membership is
     resolved by pointer-doubling over parent links (nodes are allocated
     parent-before-child, so ≤ log2(N) rounds suffice).
+
+    Runs on 2-D ``[N, A]`` views of the flat row arrays — fine here (reroot is
+    a per-move operation, not per-sim).
     """
     N = tree.parent.shape[0]  # rows incl. dummy
-    child = tree.children[ROOT, action]
+    A = tree.num_actions
+    V = tree.value_size
+    child = tree.children[action]  # root row is the first A entries
     exists = child != UNVISITED
     safe_child = jnp.where(exists, child, 0)
 
@@ -475,8 +557,8 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
         jnp.where(member, idx, N - 1)
     )
 
-    def take(buf):
-        return buf[gather_idx]
+    def take_flat(buf, size):
+        return buf.reshape(N, size)[gather_idx].reshape(N * size)
 
     count = jnp.sum(member).astype(jnp.int32)
     # Rows past the compacted subtree must be pristine: the gather fills them
@@ -485,42 +567,46 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
     # garbage child pointer into a self-loop.
     live_row = idx < count  # [N]
 
-    def live(x, fill):
-        mask = live_row.reshape((N,) + (1,) * (x.ndim - 1))
+    def live(x, fill, size=1):
+        mask = live_row if size == 1 else jnp.repeat(live_row, size)
         return jnp.where(mask, x, jnp.asarray(fill, x.dtype))
 
-    node_state = jax.tree_util.tree_map(take, tree.node_state)
+    node_state = jax.tree_util.tree_map(
+        lambda buf: take_flat(buf, buf.shape[0] // N), tree.node_state
+    )
     remap = lambda old: jnp.where(old == UNVISITED, UNVISITED, new_pos[
         jnp.where(old == UNVISITED, 0, old)
     ])
-    parent = live(remap(take(tree.parent)), UNVISITED)
+    parent = live(remap(tree.parent[gather_idx]), UNVISITED)
     parent = parent.at[ROOT].set(UNVISITED)
-    children = live(remap(take(tree.children)), UNVISITED)
+    children = live(remap(take_flat(tree.children, A)), UNVISITED, A)
     compacted = Tree(
         node_state=node_state,
         parent=parent,
-        parent_action=live(take(tree.parent_action), UNVISITED)
+        parent_action=live(tree.parent_action[gather_idx], UNVISITED)
         .at[ROOT].set(UNVISITED),
         children=children,
-        valids=live(take(tree.valids), False),
-        prior=live(take(tree.prior), 0.0),
-        n=live(take(tree.n), 0),
-        q=live(take(tree.q), 0.0),
-        v=live(take(tree.v), 0.0),
-        e=live(take(tree.e), 0.0),
-        player=live(take(tree.player), 0),
-        edge_n=live(take(tree.edge_n), 0),
-        edge_q=live(take(tree.edge_q), 0.0),
+        valids=live(take_flat(tree.valids, A), False, A),
+        prior=live(take_flat(tree.prior, A), 0.0, A),
+        n=live(tree.n[gather_idx], 0),
+        q=live(tree.q[gather_idx], 0.0),
+        v=live(tree.v[gather_idx], 0.0),
+        e=live(take_flat(tree.e, V), 0.0, V),
+        player=live(tree.player[gather_idx], 0),
+        edge_n=live(take_flat(tree.edge_n, A), 0, A),
+        edge_q=live(take_flat(tree.edge_q, A), 0.0, A),
         next_free=count,
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
         leaf=ROOT,
+        num_actions=A,
+        value_size=V,
     )
 
     # --- unexpanded edge → fresh tree at the stepped state -----------------
-    root_state = jax.tree_util.tree_map(lambda b: b[ROOT], tree.node_state)
+    root_state = gather_state(env, tree, ROOT)
     stepped = env.step(root_state, action)
-    fresh = init_tree(env, stepped, N - 1, tree.e.shape[-1])
+    fresh = init_tree(env, stepped, N - 1, V)
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(
             jnp.reshape(exists, (1,) * a.ndim), a, b
@@ -534,7 +620,7 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
 # ---------------------------------------------------------------------------
 
 def counts(tree: Tree) -> jnp.ndarray:
-    return tree.edge_n[ROOT]
+    return tree.edge_n[: tree.num_actions]  # root row (static slice)
 
 
 def probs(tree: Tree, temp: jnp.ndarray) -> jnp.ndarray:
@@ -561,7 +647,9 @@ def best_action(tree: Tree) -> jnp.ndarray:
 
 def root_value(tree: Tree, average: bool = False) -> jnp.ndarray:
     """Max (or mean) q over visited root children (MCTS.pyx:329-344)."""
-    child_q = jnp.where(tree.edge_n[ROOT] > 0, tree.edge_q[ROOT], 0.0)
+    A = tree.num_actions
+    root_n = tree.edge_n[:A]
+    child_q = jnp.where(root_n > 0, tree.edge_q[:A], 0.0)
     if average:
-        return jnp.sum(child_q) / jnp.maximum(jnp.sum(tree.valids[ROOT]), 1)
+        return jnp.sum(child_q) / jnp.maximum(jnp.sum(tree.valids[:A]), 1)
     return jnp.max(child_q)

@@ -189,9 +189,14 @@ def backup_batched(trees, values, spec: SearchSpec, interpret: bool = False):
 
     ``values`` must already be terminal-resolved (tree.resolve_value).
     """
+    B, N = trees.n.shape
+    A = trees.num_actions
     n, q, v, edge_n, edge_q = backup_batched_pallas(
         trees.parent, trees.player, trees.parent_action, trees.leaf, values,
-        trees.max_depth, trees.n, trees.q, trees.v, trees.edge_n,
-        trees.edge_q, spec, interpret=interpret,
+        trees.max_depth, trees.n, trees.q, trees.v,
+        trees.edge_n.reshape(B, N, A), trees.edge_q.reshape(B, N, A),
+        spec, interpret=interpret,
     )
-    return trees.replace(n=n, q=q, v=v, edge_n=edge_n, edge_q=edge_q)
+    return trees.replace(n=n, q=q, v=v,
+                         edge_n=edge_n.reshape(B, N * A),
+                         edge_q=edge_q.reshape(B, N * A))

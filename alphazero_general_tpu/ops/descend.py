@@ -182,13 +182,21 @@ def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
     """Walk every game's tree; trees is a vmapped Tree pytree [B, ...].
 
     Returns (node, action, child, depth, skip_walk) like
-    vmap(tree.descend) but as one fused kernel.
+    vmap(tree.descend) but as one fused kernel. The flat [B, N*A] row arrays
+    (see mcts/tree.py layout notes) are viewed as [B, N, A] here; the reshape
+    fuses into the kernel-input transposes.
     """
-    eany = jnp.any(trees.e > 0, axis=-1)
+    B = trees.n.shape[0]
+    N = trees.n.shape[1]
+    A = trees.num_actions
+    V = trees.value_size
+    as_rows = lambda buf: buf.reshape(B, N, A)  # noqa: E731
+    eany = jnp.any(trees.e.reshape(B, N, V) > 0, axis=-1)
     node, action, child, depth = descend_batched_pallas(
-        trees.children, trees.prior, trees.valids.astype(jnp.float32),
-        trees.edge_n, trees.edge_q, trees.n, trees.v, eany, tiebreak, spec,
-        interpret=interpret,
+        as_rows(trees.children), as_rows(trees.prior),
+        as_rows(trees.valids).astype(jnp.float32),
+        as_rows(trees.edge_n), as_rows(trees.edge_q), trees.n, trees.v, eany,
+        tiebreak, spec, interpret=interpret,
     )
     skip_walk = (trees.n[:, 0] == 0) | eany[:, 0]
     depth = jnp.where(skip_walk, 0, depth)

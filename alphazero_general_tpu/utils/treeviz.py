@@ -18,13 +18,15 @@ def _snapshot(tree, game: Optional[int]):
         a = np.asarray(x)
         return a[game] if game is not None else a
 
+    rows = np.asarray(tree.parent).shape[-1]
+    A = tree.num_actions
     return {
-        "children": get(tree.children),
+        "children": get(tree.children).reshape(rows, A),
         "parent_action": get(tree.parent_action),
         "n": get(tree.n),
         "q": get(tree.q),
         "v": get(tree.v),
-        "prior": get(tree.prior),
+        "prior": get(tree.prior).reshape(rows, A),
         "next_free": int(get(tree.next_free)),
     }
 

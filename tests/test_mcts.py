@@ -214,7 +214,7 @@ class TestParityWithReferenceSemantics:
             py.process_results(np.asarray(v[0]), np.asarray(pi[0]))
 
         # Compare q of each root child.
-        children = np.asarray(trees.children[0, 0])
+        children = np.asarray(trees.children[0][:7])  # root row, flat layout
         qs = np.asarray(trees.q[0])
         for c in py.root.children:
             if c.n > 0:
@@ -274,8 +274,8 @@ class TestSearchBehavior:
         spec = SPEC._replace(add_root_noise=True, root_noise_frac=0.5)
         trees_noise = run_jax_search(states, 30, spec=spec)
         trees_clean = run_jax_search(states, 30)
-        prior_n = np.asarray(trees_noise.prior[0, 0])
-        prior_c = np.asarray(trees_clean.prior[0, 0])
+        prior_n = np.asarray(trees_noise.prior[0][:7])
+        prior_c = np.asarray(trees_clean.prior[0][:7])
         assert not np.allclose(prior_n, prior_c)
         np.testing.assert_allclose(prior_n.sum(), 1.0, rtol=1e-4)
 
@@ -284,8 +284,8 @@ class TestSearchBehavior:
         spec = SPEC._replace(add_root_temp=True, root_policy_temp=4.0)
         trees_t = run_jax_search(states, 20, spec=spec)
         trees_c = run_jax_search(states, 20)
-        pt = np.asarray(trees_t.prior[0, 0])
-        pc = np.asarray(trees_c.prior[0, 0])
+        pt = np.asarray(trees_t.prior[0][:7])
+        pc = np.asarray(trees_c.prior[0][:7])
         assert pt.max() < pc.max()  # flattened
 
     def test_invalid_moves_never_visited(self):

@@ -32,12 +32,13 @@ class TestReroot:
         trees = grown_tree(env, sims=60)
         counts = np.asarray(jax.vmap(T.counts)(trees))[0]
         action = int(counts.argmax())
-        old_child = int(trees.children[0, 0, action])
+        A = env.ACTION_SIZE
+        old_child = int(trees.children[0, action])  # root row, flat layout
         old_n = int(trees.n[0, old_child])
         old_q = float(trees.q[0, old_child])
 
         # Grandchild visit profile (the new root's counts after reroot).
-        gc = np.asarray(trees.children[0, old_child])
+        gc = np.asarray(trees.children[0, old_child * A:(old_child + 1) * A])
         gc_counts = np.zeros(env.ACTION_SIZE, np.int64)
         for a, ci in enumerate(gc):
             if ci >= 0:
@@ -54,7 +55,8 @@ class TestReroot:
         # Root state is the stepped state.
         expect = env.step(env.init(), action)
         np.testing.assert_array_equal(
-            np.asarray(new.node_state.board[0, 0]), np.asarray(expect.board)
+            np.asarray(new.node_state.board[0, :42]).reshape(6, 7),
+            np.asarray(expect.board)
         )
         # Arena is compact: next_free == subtree size ≤ old next_free.
         assert int(new.next_free[0]) <= int(trees.next_free[0])
@@ -73,7 +75,8 @@ class TestReroot:
         assert int(new.n[0, 0]) == 0
         expect = env.step(env.init(), unvisited)
         np.testing.assert_array_equal(
-            np.asarray(new.node_state.board[0, 0]), np.asarray(expect.board)
+            np.asarray(new.node_state.board[0, :42]).reshape(6, 7),
+            np.asarray(expect.board)
         )
 
     def test_search_continues_after_reroot(self):
