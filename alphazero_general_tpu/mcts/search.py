@@ -28,11 +28,22 @@ def init_batched_trees(env, states, capacity: int, value_size: int):
     return jax.vmap(lambda s: T.init_tree(env, s, capacity, value_size))(states)
 
 
-#: VMEM budget gate for the Pallas kernels: descent holds five [N, A, 128]
+#: VMEM budget gate for the Pallas descent kernel: it holds three [N, A, 128]
 #: f32 blocks plus temporaries of the same shape against the 16 MB
-#: scoped-VMEM limit; backup holds two plus a temporary. Beyond this, fall
-#: back to the vmapped XLA implementations (DMA kernel: ROADMAP).
+#: scoped-VMEM limit. Beyond this, fall back to the vmapped XLA walk
+#: (DMA kernel for large action spaces: ROADMAP).
 _PALLAS_MAX_NODE_ACTION = 2048
+
+#: Node-count gate for the Pallas backup kernel: it holds only [N, 128]
+#: columns, so the limit is far higher than the walk's.
+_PALLAS_BACKUP_MAX_NODES = 4096
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _pick_walk_impl(trees, walk_impl: str) -> str:
@@ -40,11 +51,22 @@ def _pick_walk_impl(trees, walk_impl: str) -> str:
         return walk_impl
     B, N = trees.n.shape
     A = trees.num_actions
-    try:
-        on_tpu = jax.devices()[0].platform != "cpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    if on_tpu and B % 128 == 0 and N * A <= _PALLAS_MAX_NODE_ACTION:
+    if (_on_tpu() and B % 128 == 0 and N * A <= _PALLAS_MAX_NODE_ACTION
+            and trees.edge_n is None):
+        return "pallas"
+    return "xla"
+
+
+def _pick_backup_impl(trees, walk_impl: str) -> str:
+    """The slim backup kernel carries no per-edge arrays, so its gate is on
+    node count only — but mirror-carrying trees (large action spaces, see
+    tree.needs_mirrors) must take the XLA backup, which refreshes the
+    mirrors with a path scatter."""
+    if walk_impl != "auto":
+        return walk_impl
+    B, N = trees.n.shape
+    if (_on_tpu() and B % 128 == 0 and N <= _PALLAS_BACKUP_MAX_NODES
+            and trees.edge_n is None):
         return "pallas"
     return "xla"
 
@@ -94,9 +116,7 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
         )
     )(trees, pi, jax.random.split(rng_noise, B))
 
-    # The backup kernel maintains the per-edge stat mirrors in VMEM, so it
-    # shares the walk's N*A gate.
-    use_pallas_backup = _pick_walk_impl(trees, walk_impl) in (
+    use_pallas_backup = _pick_backup_impl(trees, walk_impl) in (
         "pallas", "pallas_interpret")
     if use_pallas_backup:
         from alphazero_general_tpu.ops.backup import backup_batched

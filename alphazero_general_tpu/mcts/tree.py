@@ -11,14 +11,17 @@ game are found, evaluated in a single batched network call, and backed up —
 all inside the same compiled program, no processes/queues/shared tensors.
 
 Memory layout (TPU-critical): per-node row arrays (children, priors, valids,
-edge stats, env-state snapshots, terminal vectors) are stored **flattened to
-one axis per game** — ``children`` is ``int32[(N)*A]``, a node's row is
-``lax.dynamic_slice`` at ``node*A``. Under ``vmap`` the batched buffers are
-2-D ``[B, N*A]``, which tile cleanly onto the TPU's (8,128)/(32,128) memory
-tiles. The naive ``[B, N, A]`` layout pads the minor A axis to 128 lanes —
-an 18x physical blow-up for connect4 (A=7) that made every carried-tree copy
-and fusion read ~20x more HBM than the logical data (measured: 2.4x
-end-to-end self-play throughput from this change alone).
+env-state snapshots, terminal vectors) with SUB-TILE rows are stored
+**flattened to one axis per game** — connect4's ``children`` is
+``int32[(N)*A]``; under ``vmap`` the batched buffers are 2-D ``[B, N*A]``,
+which tile cleanly onto the TPU's (8,128)/(32,128) memory tiles. The naive
+``[B, N, A]`` layout pads the minor A axis to 128 lanes — an 18x physical
+blow-up for connect4 (A=7) that made every carried-tree copy and fusion read
+~20x more HBM than the logical data (measured: 1.6x end-to-end self-play
+throughput from this change). Rows at or above a lane tile (tafl's A=2420)
+keep the plain ``[rows, size]`` shape — their padding is negligible and
+flat<->2-D reshape views of such buffers materialize as relayout copies.
+``_row``/``_set_row`` dispatch on the buffer's ndim.
 
 Feature parity checklist vs MCTS.pyx (SURVEY.md §2.1):
   * PUCT with FPU reduction from seen policy      (MCTS.pyx:86-104)
@@ -86,7 +89,7 @@ class Tree:
     (MCTS.pyx:49-71): ``n``/``q``/``v``/``prior``/``player``/``e``.
 
     Row arrays are flat (see module docstring): element (node, a) of
-    ``children``/``valids``/``prior``/``edge_n``/``edge_q`` lives at index
+    ``children``/``valids``/``prior`` lives at index
     ``node * num_actions + a``; node ``i``'s terminal vector is
     ``e[i*value_size : (i+1)*value_size]``; each ``node_state`` leaf of
     per-node size S is ``[rows * S]``.
@@ -105,12 +108,14 @@ class Tree:
     v: jnp.ndarray  # float32[N] first-visit net value (own perspective)
     e: jnp.ndarray  # float32[N*value_size] terminal win vectors
     player: jnp.ndarray  # int32[N] player to move at the node
-    # Per-edge mirrors of the child's n/q (mctx-style): edge_n[p*A + a] ==
-    # n[children[p*A + a]] and likewise for q. Selection reads these as rows —
-    # per-element stat gathers through the child index are catastrophically
-    # slow on TPU for large action spaces.
-    edge_n: jnp.ndarray  # int32[N*A]
-    edge_q: jnp.ndarray  # float32[N*A]
+    # Per-edge mirrors of the child's n/q (edge_n[p*A+a] == n[children[p*A+a]]),
+    # present ONLY for large action spaces (see needs_mirrors): the vmapped XLA
+    # walk reads child stats as mirror rows there, because an A-wide index
+    # gather per walk step lowers to a one-hot contraction that exhausts HBM
+    # for A in the thousands. Small-A envs run the Pallas walk, which computes
+    # child stats in VMEM — no mirrors to carry, stream, or maintain.
+    edge_n: jnp.ndarray | None
+    edge_q: jnp.ndarray | None
     next_free: jnp.ndarray  # int32 scalar — next unallocated slot
     depth: jnp.ndarray  # int32 scalar — depth of last find_leaf
     max_depth: jnp.ndarray  # int32 scalar — max depth this search
@@ -132,6 +137,30 @@ class Tree:
         return self.num_actions
 
 
+#: Mirror threshold — aligned with the Pallas walk's VMEM gate
+#: (mcts/search.py _PALLAS_MAX_NODE_ACTION): trees small enough for the
+#: fused walk never need mirrors.
+MIRROR_MIN_NODE_ACTION = 2048
+
+
+def needs_mirrors(num_rows: int, action_size: int) -> bool:
+    return num_rows * action_size > MIRROR_MIN_NODE_ACTION
+
+
+#: Row arrays whose row size reaches a TPU lane tile keep the plain 2-D
+#: [rows, size] shape: their tile padding is negligible (e.g. tafl's A=2420
+#: pads to 2432) and flat<->2-D reshape views of big buffers materialize as
+#: full relayout copies per sim (profiled: 4x ~318 ms reshapes per 100 tafl
+#: sims). Sub-tile rows (connect4's A=7, board snapshots, win vectors) are
+#: flattened, where the padding would otherwise blow the buffer up 18x.
+_FLAT_MAX_ROW_SIZE = 128
+
+
+def _alloc_rows(rows: int, size: int, dtype, fill=0) -> jnp.ndarray:
+    shape = (rows * size,) if size < _FLAT_MAX_ROW_SIZE else (rows, size)
+    return jnp.full(shape, fill, dtype)
+
+
 def _size_of(template_leaf) -> int:
     return int(np.prod(jnp.shape(template_leaf), dtype=np.int64)) or 1
 
@@ -146,6 +175,8 @@ def _row(buf: jnp.ndarray, idx, size: int) -> jnp.ndarray:
     gather path. The reshape stays inside the surrounding fusion; only the
     carried flat buffer is materialized.
     """
+    if buf.ndim == 2:
+        return buf[idx]
     return buf.reshape(-1, size)[idx]
 
 
@@ -160,6 +191,8 @@ _DENSE_SET_MAX_ELEMS = 16384
 
 
 def _set_row(buf: jnp.ndarray, idx, row: jnp.ndarray) -> jnp.ndarray:
+    if buf.ndim == 2:  # big rows: plain scatter, no reshape
+        return buf.at[idx].set(row)
     size = row.shape[0]
     rows = buf.shape[0] // size
     b2 = buf.reshape(rows, size)
@@ -199,24 +232,25 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
     A = env.ACTION_SIZE
     rows = capacity + 1  # last row is the dummy write sink
     node_state = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((rows * _size_of(x),), jnp.asarray(x).dtype),
+        lambda x: _alloc_rows(rows, _size_of(x), jnp.asarray(x).dtype),
         root_state,
     )
     node_state = _scatter_state(node_state, root_state, 0)
+    mirrors = needs_mirrors(rows, A)
     return Tree(
         node_state=node_state,
         parent=jnp.full((rows,), UNVISITED, jnp.int32),
         parent_action=jnp.full((rows,), UNVISITED, jnp.int32),
-        children=jnp.full((rows * A,), UNVISITED, jnp.int32),
-        valids=jnp.zeros((rows * A,), jnp.bool_),
-        prior=jnp.zeros((rows * A,), jnp.float32),
+        children=_alloc_rows(rows, A, jnp.int32, UNVISITED),
+        valids=_alloc_rows(rows, A, jnp.bool_, False),
+        prior=_alloc_rows(rows, A, jnp.float32),
         n=jnp.zeros((rows,), jnp.int32),
         q=jnp.zeros((rows,), jnp.float32),
         v=jnp.zeros((rows,), jnp.float32),
-        e=jnp.zeros((rows * value_size,), jnp.float32),
+        e=_alloc_rows(rows, value_size, jnp.float32),
         player=jnp.zeros((rows,), jnp.int32),
-        edge_n=jnp.zeros((rows * A,), jnp.int32),
-        edge_q=jnp.zeros((rows * A,), jnp.float32),
+        edge_n=_alloc_rows(rows, A, jnp.int32) if mirrors else None,
+        edge_q=_alloc_rows(rows, A, jnp.float32) if mirrors else None,
         next_free=jnp.int32(1),
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -239,12 +273,20 @@ def _child_scores(tree: Tree, node: jnp.ndarray, spec: SearchSpec,
     """PUCT scores of every action at ``node`` (MCTS.pyx:86-104).
 
     ``tiebreak`` is a tiny uniform perturbation standing in for the
-    reference's child-list shuffle (MCTS.pyx:78-79). Child statistics come
-    from the per-edge mirrors (row reads, no index gathers).
+    reference's child-list shuffle (MCTS.pyx:78-79). Child statistics are
+    gathered through the child indices (a leading-axis take over the n/q
+    columns — the fast TPU gather path; unallocated edges read as n=0).
     """
     A = tree.num_actions
-    child_n = _row(tree.edge_n, node, A)
-    child_q = _row(tree.edge_q, node, A)
+    if tree.edge_n is not None:
+        child_n = _row(tree.edge_n, node, A)
+        child_q = _row(tree.edge_q, node, A)
+    else:
+        child_idx = _row(tree.children, node, A)
+        exists = child_idx != UNVISITED
+        safe = jnp.where(exists, child_idx, 0)
+        child_n = jnp.where(exists, tree.n[safe], 0)
+        child_q = jnp.where(exists, tree.q[safe], 0.0)
     p = _row(tree.prior, node, A)
     valid = _row(tree.valids, node, A)
 
@@ -441,6 +483,7 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
     A = tree.num_actions
     DUMMY = jnp.int32(tree.dummy)
     max_depth_f = jnp.maximum(tree.max_depth.astype(jnp.float32), 1.0)
+    with_path = tree.edge_n is not None
     PATH_MAX = tree.parent.shape[0]  # path length is bounded by node count
 
     def cond(carry):
@@ -464,12 +507,13 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
             n_col.at[node].add(1),
             q_col.at[node].set(new_q),
             v_col.at[node].set(new_v),
-            path.at[i].set(node),
+            path.at[i].set(node) if with_path else path,
             par,
             i + 1,
         )
 
-    path0 = jnp.full((PATH_MAX,), DUMMY, jnp.int32)
+    path0 = (jnp.full((PATH_MAX,), DUMMY, jnp.int32) if with_path
+             else jnp.zeros((), jnp.int32))
     n_col, q_col, v_col, path, _, _ = jax.lax.while_loop(
         cond, body, (tree.n, tree.q, tree.v, path0, leaf, jnp.int32(0))
     )
@@ -481,6 +525,9 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
     n_col = n_col.at[ROOT].add(1)
     v_col = v_col.at[ROOT].set(root_v)
 
+    if not with_path:
+        return tree.replace(n=n_col, q=q_col, v=v_col)
+
     # Refresh the per-edge mirrors for every updated node: one batched
     # scatter over the recorded path (dummy-routed where unused).
     on_path = path != DUMMY
@@ -491,14 +538,8 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
               .reshape(tree.edge_n.shape))
     edge_q = (tree.edge_q.reshape(-1, A).at[rows, cols].set(q_col[safe])
               .reshape(tree.edge_q.shape))
-
-    return tree.replace(
-        n=n_col,
-        q=q_col,
-        v=v_col,
-        edge_n=edge_n,
-        edge_q=edge_q,
-    )
+    return tree.replace(n=n_col, q=q_col, v=v_col,
+                        edge_n=edge_n, edge_q=edge_q)
 
 
 def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
@@ -557,8 +598,8 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
         jnp.where(member, idx, N - 1)
     )
 
-    def take_flat(buf, size):
-        return buf.reshape(N, size)[gather_idx].reshape(N * size)
+    def take_rows(buf, size):
+        return buf.reshape(N, size)[gather_idx].reshape(buf.shape)
 
     count = jnp.sum(member).astype(jnp.int32)
     # Rows past the compacted subtree must be pristine: the gather fills them
@@ -568,33 +609,40 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
     live_row = idx < count  # [N]
 
     def live(x, fill, size=1):
-        mask = live_row if size == 1 else jnp.repeat(live_row, size)
+        if x.ndim == 2:
+            mask = live_row[:, None]
+        elif size == 1:
+            mask = live_row
+        else:
+            mask = jnp.repeat(live_row, size)
         return jnp.where(mask, x, jnp.asarray(fill, x.dtype))
 
     node_state = jax.tree_util.tree_map(
-        lambda buf: take_flat(buf, buf.shape[0] // N), tree.node_state
+        lambda buf: take_rows(buf, buf.size // N), tree.node_state
     )
     remap = lambda old: jnp.where(old == UNVISITED, UNVISITED, new_pos[
         jnp.where(old == UNVISITED, 0, old)
     ])
     parent = live(remap(tree.parent[gather_idx]), UNVISITED)
     parent = parent.at[ROOT].set(UNVISITED)
-    children = live(remap(take_flat(tree.children, A)), UNVISITED, A)
+    children = live(remap(take_rows(tree.children, A)), UNVISITED, A)
     compacted = Tree(
         node_state=node_state,
         parent=parent,
         parent_action=live(tree.parent_action[gather_idx], UNVISITED)
         .at[ROOT].set(UNVISITED),
         children=children,
-        valids=live(take_flat(tree.valids, A), False, A),
-        prior=live(take_flat(tree.prior, A), 0.0, A),
+        valids=live(take_rows(tree.valids, A), False, A),
+        prior=live(take_rows(tree.prior, A), 0.0, A),
         n=live(tree.n[gather_idx], 0),
         q=live(tree.q[gather_idx], 0.0),
         v=live(tree.v[gather_idx], 0.0),
-        e=live(take_flat(tree.e, V), 0.0, V),
+        e=live(take_rows(tree.e, V), 0.0, V),
         player=live(tree.player[gather_idx], 0),
-        edge_n=live(take_flat(tree.edge_n, A), 0, A),
-        edge_q=live(take_flat(tree.edge_q, A), 0.0, A),
+        edge_n=(live(take_rows(tree.edge_n, A), 0, A)
+                if tree.edge_n is not None else None),
+        edge_q=(live(take_rows(tree.edge_q, A), 0.0, A)
+                if tree.edge_q is not None else None),
         next_free=count,
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -619,8 +667,20 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
 # Root statistics (MCTS.pyx:297-344)
 # ---------------------------------------------------------------------------
 
+def _root_child_stats(tree: Tree):
+    A = tree.num_actions
+    if tree.edge_n is not None:  # root row (static index)
+        return (tree.edge_n.reshape(-1, A)[0], tree.edge_q.reshape(-1, A)[0])
+    child_idx = tree.children.reshape(-1, A)[0]  # root row (static index)
+    exists = child_idx != UNVISITED
+    safe = jnp.where(exists, child_idx, 0)
+    n = jnp.where(exists, tree.n[safe], 0)
+    q = jnp.where(exists, tree.q[safe], 0.0)
+    return n, q
+
+
 def counts(tree: Tree) -> jnp.ndarray:
-    return tree.edge_n[: tree.num_actions]  # root row (static slice)
+    return _root_child_stats(tree)[0]
 
 
 def probs(tree: Tree, temp: jnp.ndarray) -> jnp.ndarray:
@@ -648,8 +708,9 @@ def best_action(tree: Tree) -> jnp.ndarray:
 def root_value(tree: Tree, average: bool = False) -> jnp.ndarray:
     """Max (or mean) q over visited root children (MCTS.pyx:329-344)."""
     A = tree.num_actions
-    root_n = tree.edge_n[:A]
-    child_q = jnp.where(root_n > 0, tree.edge_q[:A], 0.0)
+    root_n, root_q = _root_child_stats(tree)
+    child_q = jnp.where(root_n > 0, root_q, 0.0)
+    root_valids = tree.valids.reshape(-1, A)[0]
     if average:
-        return jnp.sum(child_q) / jnp.maximum(jnp.sum(tree.valids[:A]), 1)
+        return jnp.sum(child_q) / jnp.maximum(jnp.sum(root_valids), 1)
     return jnp.max(child_q)

@@ -1,10 +1,12 @@
 """Batched MCTS backup as a Pallas TPU kernel.
 
 Fuses the leaf-to-root value propagation (mcts/tree.py `backup`,
-MCTS.pyx:260-289) for a 128-game lane block into one program: n/q/v columns
-and the per-edge stat mirrors are updated in place in VMEM, node indexing is
-masked reduction over the node axis, the walk loop runs on-chip.
-Terminal-value resolution and prior installation stay in XLA (cheap row ops).
+MCTS.pyx:260-289) for a 128-game lane block into one program: the n/q/v
+columns are updated in place in VMEM, node indexing is masked reduction over
+the node axis, the walk loop runs on-chip. I/O is a handful of [N, LANES]
+columns — the descent kernel reads child stats through the child index, so
+no per-edge arrays exist. Terminal-value resolution and prior installation
+stay in XLA (cheap row ops).
 """
 
 from __future__ import annotations
@@ -21,26 +23,22 @@ from alphazero_general_tpu.mcts.tree import DRAW_VALUE, SearchSpec
 LANES = 128
 
 
-def _backup_kernel(parent_ref, player_ref, pact_ref, leaf_ref, value_ref,
-                   maxd_ref, n_in, q_in, v_in, en_in, eq_in,
-                   n_io, q_io, v_io, en_io, eq_io, *, spec: SearchSpec,
-                   num_nodes: int, num_actions: int):
-    N, A = num_nodes, num_actions
+def _backup_kernel(parent_ref, player_ref, leaf_ref, value_ref,
+                   maxd_ref, n_in, q_in, v_in,
+                   n_io, q_io, v_io, *, spec: SearchSpec,
+                   num_nodes: int):
+    N = num_nodes
     V = spec.value_size
     iota_nl = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
-    iota_al = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
     iota_vl = jax.lax.broadcasted_iota(jnp.int32, (V, LANES), 0)
 
     parent = parent_ref[...]
     player = player_ref[...]
-    pact = pact_ref[...]
     value = value_ref[...]  # [V, LANES]
     maxd = maxd_ref[...]  # [1, LANES] f32
     n_io[...] = n_in[...]
     q_io[...] = q_in[...]
     v_io[...] = v_in[...]
-    en_io[...] = en_in[...]
-    eq_io[...] = eq_in[...]
 
     def get_i(arr, idx):  # arr [N, L] i32, idx [1, L] → [1, L] i32
         sel = (iota_nl == idx).astype(jnp.int32)
@@ -67,7 +65,6 @@ def _backup_kernel(parent_ref, player_ref, pact_ref, leaf_ref, value_ref,
         node, i = carry
         active = node != 0
         par = get_i(parent, node)
-        pa = get_i(pact, node)
         val = value_at(get_i(player, par))
         frac = i.astype(jnp.float32) / maxd
         discount = jnp.exp(frac * log_md)
@@ -79,20 +76,11 @@ def _backup_kernel(parent_ref, player_ref, pact_ref, leaf_ref, value_ref,
         new_q = (q_node * n_node + val * discount) / (n_node + 1.0)
         own_v = value_at(get_i(player, node))
         new_v = jnp.where(n_node < 0.5, own_v, get_f(v_io[...], node))
-        new_n = n_node + 1.0
 
         onehot = (iota_nl == node) & active
         q_io[...] = jnp.where(onehot, new_q, q_io[...])
         v_io[...] = jnp.where(onehot, new_v, v_io[...])
         n_io[...] = jnp.where(onehot, n_io[...] + 1, n_io[...])
-
-        # Per-edge mirrors: the edge (parent → parent_action) now reflects
-        # the child's updated stats.
-        esel = ((iota_nl == par)[:, None, :]
-                & (iota_al == pa)[None, :, :]
-                & active[None])
-        en_io[...] = jnp.where(esel, new_n.astype(jnp.int32)[None], en_io[...])
-        eq_io[...] = jnp.where(esel, new_q[None], eq_io[...])
 
         node = jnp.where(active, par, node)
         i = i + active.astype(jnp.int32)
@@ -110,77 +98,60 @@ def _backup_kernel(parent_ref, player_ref, pact_ref, leaf_ref, value_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def backup_batched_pallas(parent, player, pact, leaf, value, max_depth, n, q,
-                          v, edge_n, edge_q, spec: SearchSpec,
-                          interpret: bool = False):
+def backup_batched_pallas(parent, player, leaf, value, max_depth, n, q,
+                          v, spec: SearchSpec, interpret: bool = False):
     """Batched backup. Batch-major inputs (as held by the vmapped Tree).
 
-    Returns updated (n, q, v, edge_n, edge_q).
+    Returns updated (n, q, v).
     """
     B, N = parent.shape
     assert B % LANES == 0
-    A = edge_n.shape[2]
 
     pt = jnp.transpose(parent, (1, 0))
     plt_ = jnp.transpose(player, (1, 0))
-    pat = jnp.transpose(pact, (1, 0))
     vt = jnp.transpose(value, (1, 0))
     nt = jnp.transpose(n, (1, 0))
     qt = jnp.transpose(q, (1, 0))
     vvt = jnp.transpose(v, (1, 0))
-    ent = jnp.transpose(edge_n, (1, 2, 0))
-    eqt = jnp.transpose(edge_q, (1, 2, 0))
     leaf2 = leaf[None, :]
     maxd = jnp.maximum(max_depth.astype(jnp.float32), 1.0)[None, :]
 
     grid = (B // LANES,)
-    kernel = functools.partial(_backup_kernel, spec=spec, num_nodes=N,
-                               num_actions=A)
+    kernel = functools.partial(_backup_kernel, spec=spec, num_nodes=N)
 
     def nl():
         return pl.BlockSpec((N, LANES), lambda g: (0, g),
-                            memory_space=pltpu.VMEM)
-
-    def nal():
-        return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
                             memory_space=pltpu.VMEM)
 
     def rl(rows=1):
         return pl.BlockSpec((rows, LANES), lambda g: (0, g),
                             memory_space=pltpu.VMEM)
 
-    n2, q2, v2, en2, eq2 = pl.pallas_call(
+    n2, q2, v2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             nl(),  # parent
             nl(),  # player
-            nl(),  # parent_action
             rl(),  # leaf
             rl(value.shape[1]),  # value
             rl(),  # maxd
             nl(),  # n
             nl(),  # q
             nl(),  # v
-            nal(),  # edge_n
-            nal(),  # edge_q
         ],
-        out_specs=(nl(), nl(), nl(), nal(), nal()),
+        out_specs=(nl(), nl(), nl()),
         out_shape=(
             jax.ShapeDtypeStruct((N, B), jnp.int32),
             jax.ShapeDtypeStruct((N, B), jnp.float32),
             jax.ShapeDtypeStruct((N, B), jnp.float32),
-            jax.ShapeDtypeStruct((N, A, B), jnp.int32),
-            jax.ShapeDtypeStruct((N, A, B), jnp.float32),
         ),
         interpret=interpret,
-    )(pt, plt_, pat, leaf2, vt, maxd, nt, qt, vvt, ent, eqt)
+    )(pt, plt_, leaf2, vt, maxd, nt, qt, vvt)
     return (
         jnp.transpose(n2, (1, 0)),
         jnp.transpose(q2, (1, 0)),
         jnp.transpose(v2, (1, 0)),
-        jnp.transpose(en2, (2, 0, 1)),
-        jnp.transpose(eq2, (2, 0, 1)),
     )
 
 
@@ -188,15 +159,12 @@ def backup_batched(trees, values, spec: SearchSpec, interpret: bool = False):
     """Apply the fused backup to a vmapped Tree pytree; returns new trees.
 
     ``values`` must already be terminal-resolved (tree.resolve_value).
+    Mirror-carrying trees (large action spaces) must use the XLA backup,
+    which maintains the mirrors.
     """
-    B, N = trees.n.shape
-    A = trees.num_actions
-    n, q, v, edge_n, edge_q = backup_batched_pallas(
-        trees.parent, trees.player, trees.parent_action, trees.leaf, values,
-        trees.max_depth, trees.n, trees.q, trees.v,
-        trees.edge_n.reshape(B, N, A), trees.edge_q.reshape(B, N, A),
-        spec, interpret=interpret,
+    assert trees.edge_n is None, "pallas backup does not maintain mirrors"
+    n, q, v = backup_batched_pallas(
+        trees.parent, trees.player, trees.leaf, values,
+        trees.max_depth, trees.n, trees.q, trees.v, spec, interpret=interpret,
     )
-    return trees.replace(n=n, q=q, v=v,
-                         edge_n=edge_n.reshape(B, N * A),
-                         edge_q=edge_q.reshape(B, N * A))
+    return trees.replace(n=n, q=q, v=v)

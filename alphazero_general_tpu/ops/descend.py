@@ -7,9 +7,10 @@ is ~100x cheaper than the walk). This kernel fuses the complete walk for a
 block of games into one program: tree arrays live in VMEM in game-minor
 layout ([N, A, LANES] — games ride the 128-wide lane dimension), per-lane
 dynamic node indexing is expressed as masked reductions over the node axis,
-and the while loop runs entirely on-chip. Child statistics come from the
-per-edge mirrors (tree.edge_n / tree.edge_q), so no per-element index
-gathers appear anywhere.
+and the while loop runs entirely on-chip. Child visit/value statistics are
+computed in-kernel from the n/q columns through the child-index row (a
+one-hot reduction over N), so no per-edge mirror arrays need to be carried,
+streamed, or maintained at backup time.
 
 Semantics are identical to `descend` (MCTS.pyx:208-217): PUCT with
 FPU-reduction from seen policy, stop at an unallocated edge or terminal
@@ -32,14 +33,16 @@ NEG_INF = -3.0e38
 UNVISITED = -1  # plain int: jnp scalars would be captured consts in the kernel
 
 
-def _descend_kernel(children_ref, prior_ref, valids_ref, edge_n_ref,
-                    edge_q_ref, n_ref, v_ref, eany_ref, tiebreak_ref, out_ref,
+def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
+                    eany_ref, tiebreak_ref, out_ref,
                     *, spec: SearchSpec, num_nodes: int, num_actions: int):
     N, A = num_nodes, num_actions
     node_iota1 = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
     node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 0)
 
     n_all = n_ref[...]  # [N, LANES] i32
+    n_all_f = n_all.astype(jnp.float32)
+    q_all = q_ref[...]  # [N, LANES] f32
     eany_all = eany_ref[...]  # [N, LANES] f32 (1.0 = terminal)
     tiebreak = tiebreak_ref[...]  # [A, LANES]
 
@@ -59,14 +62,19 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, edge_n_ref,
         node, action, child, depth, done_i = carry  # each [1, LANES] i32
         done = done_i > 0
         sel3 = (node_iota2 == node[None]).astype(jnp.float32)  # [N, A, LANES]
-        child_n = row(edge_n_ref, sel3)  # f32 via mul? keep i32→f32
         row_prior = row(prior_ref, sel3)
         row_valid = row(valids_ref, sel3)
-        child_q = row(edge_q_ref, sel3)
+        row_child = row(children_ref, sel3)  # [A, LANES] f32 child indices
+
+        # Child stats straight from the n/q columns: one-hot over the child
+        # index (UNVISITED never matches the iota → stats read as 0).
+        selc = (node_iota2 == row_child.astype(jnp.int32)[None]
+                ).astype(jnp.float32)  # [N, A, LANES]
+        child_n = jnp.sum(n_all_f[:, None, :] * selc, axis=0)  # [A, LANES]
+        child_q = jnp.sum(q_all[:, None, :] * selc, axis=0)
 
         sel1 = (node_iota1 == node).astype(jnp.float32)  # [N, LANES]
-        cur_n = jnp.sum(n_all.astype(jnp.float32) * sel1, axis=0,
-                        keepdims=True)  # [1, LANES]
+        cur_n = jnp.sum(n_all_f * sel1, axis=0, keepdims=True)  # [1, LANES]
         cur_v = jnp.sum(v_ref[...] * sel1, axis=0, keepdims=True)
 
         # PUCT scores (MCTS.pyx:86-104).
@@ -86,7 +94,6 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, edge_n_ref,
         a_sel = (
             jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0) == best
         ).astype(jnp.float32)
-        row_child = row(children_ref, sel3)  # f32 child indices
         best_child = jnp.sum(row_child * a_sel, axis=0,
                              keepdims=True).astype(jnp.int32)
         best_exists = best_child != UNVISITED
@@ -119,9 +126,8 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, edge_n_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def descend_batched_pallas(children, prior, valids, edge_n, edge_q, n, v,
-                           eany, tiebreak, spec: SearchSpec,
-                           interpret: bool = False):
+def descend_batched_pallas(children, prior, valids, n, q, v, eany, tiebreak,
+                           spec: SearchSpec, interpret: bool = False):
     """Batched walk. Inputs are the batched tree arrays (batch-major, as held
     by the vmapped Tree) — transposed here to game-minor layout.
 
@@ -135,9 +141,8 @@ def descend_batched_pallas(children, prior, valids, edge_n, edge_q, n, v,
     ct = jnp.transpose(children, (1, 2, 0)).astype(jnp.float32)
     pt = jnp.transpose(prior, (1, 2, 0))
     vt = jnp.transpose(valids.astype(jnp.float32), (1, 2, 0))
-    ent = jnp.transpose(edge_n, (1, 2, 0)).astype(jnp.float32)
-    eqt = jnp.transpose(edge_q, (1, 2, 0))
     nt = jnp.transpose(n, (1, 0))
+    qt = jnp.transpose(q, (1, 0))
     vvt = jnp.transpose(v, (1, 0))
     et = jnp.transpose(eany.astype(jnp.float32), (1, 0))
     tt = jnp.transpose(tiebreak, (1, 0))
@@ -162,9 +167,8 @@ def descend_batched_pallas(children, prior, valids, edge_n, edge_q, n, v,
             nab(),  # children
             nab(),  # prior
             nab(),  # valids
-            nab(),  # edge_n
-            nab(),  # edge_q
             nb(),   # n
+            nb(),   # q
             nb(),   # v
             nb(),   # eany
             pl.BlockSpec((A, LANES), lambda g: (0, g),
@@ -174,7 +178,7 @@ def descend_batched_pallas(children, prior, valids, edge_n, edge_q, n, v,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
         interpret=interpret,
-    )(ct, pt, vt, ent, eqt, nt, vvt, et, tt)
+    )(ct, pt, vt, nt, qt, vvt, et, tt)
     return out[0], out[1], out[2], out[3]
 
 
@@ -193,10 +197,8 @@ def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
     as_rows = lambda buf: buf.reshape(B, N, A)  # noqa: E731
     eany = jnp.any(trees.e.reshape(B, N, V) > 0, axis=-1)
     node, action, child, depth = descend_batched_pallas(
-        as_rows(trees.children), as_rows(trees.prior),
-        as_rows(trees.valids).astype(jnp.float32),
-        as_rows(trees.edge_n), as_rows(trees.edge_q), trees.n, trees.v, eany,
-        tiebreak, spec, interpret=interpret,
+        as_rows(trees.children), as_rows(trees.prior), as_rows(trees.valids),
+        trees.n, trees.q, trees.v, eany, tiebreak, spec, interpret=interpret,
     )
     skip_walk = (trees.n[:, 0] == 0) | eany[:, 0]
     depth = jnp.where(skip_walk, 0, depth)
