@@ -376,6 +376,33 @@ class Stratego(Env):
             jnp.stack([pi, pi[perm]]),
         )
 
+    @staticmethod
+    def in_placement(state: StrategoState) -> bool:
+        """Host-side phase check (for UIs/tests)."""
+        return not bool(Stratego._play_phase(state))
+
+    @staticmethod
+    def encode_place(piece: int, r: int, c: int) -> int:
+        """Placement action for piece type 1..12 at (r, c)."""
+        return piece * CELLS + r * W + c
+
+    @staticmethod
+    def encode_action(r: int, c: int, r2: int, c2: int) -> int:
+        """Movement action (rook encoding, same scheme as the tafl envs)."""
+        if c == c2:
+            mt = r2 if r2 < r else r2 - 1
+        else:
+            mt = (H - 1) + (c2 if c2 < c else c2 - 1)
+        return (r * W + c) * MT + mt
+
+    @staticmethod
+    def decode_action(action: int):
+        """Movement action → ((r, c), (r2, c2)) for display/UIs."""
+        cell, _ = divmod(int(action), MT)
+        r, c = divmod(cell, W)
+        return (r, c), (int(DEST_R[r, c, int(action) % MT]),
+                        int(DEST_C[r, c, int(action) % MT]))
+
     @classmethod
     def display(cls, state: StrategoState) -> str:
         board = np.asarray(state.board)

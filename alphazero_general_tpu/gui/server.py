@@ -41,6 +41,7 @@ button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
 <h2>alphazero_general_tpu — play &amp; analyse</h2>
 <div>
   <select id="env"></select>
+  <select id="piece" style="display:none"></select>
   <select id="opp">
     <option value="nativemcts">native MCTS (fast)</option>
     <option value="rawmcts">raw MCTS (JAX)</option>
@@ -116,6 +117,21 @@ function setStatus(s) { document.getElementById('status').textContent = s; }
 function render(r) {
   if (r.error) { setStatus(r.error); return; }
   view = r;
+  const pal = document.getElementById('piece');
+  if (r.place_counts) {
+    pal.style.display = '';
+    const cur = pal.value;
+    pal.innerHTML = '';
+    for (const [name, cnt] of r.place_counts) {
+      if (cnt <= 0) continue;
+      const o = document.createElement('option');
+      o.value = name; o.textContent = `${name} x${cnt}`;
+      pal.appendChild(o);
+    }
+    if ([...pal.options].some(o => o.value === cur)) pal.value = cur;
+  } else {
+    pal.style.display = 'none';
+  }
   const tbl = document.getElementById('board');
   tbl.innerHTML = '';
   const hints = new Set((r.hints || []).map(h => h[0] + ',' + h[1]));
@@ -137,7 +153,10 @@ function render(r) {
 }
 async function clickCell(i, j) {
   if (!game || !view || view.terminal) return;
-  if (view.needs_two_clicks) {
+  if (view.place_counts) {  // stratego placement: palette + one click
+    const piece = document.getElementById('piece').value;
+    render(await api('/api/move', {game, to: [i, j], piece}));
+  } else if (view.needs_two_clicks) {
     if (!sel) { sel = [i, j]; render(view); return; }
     const r = await api('/api/move', {game, from: sel, to: [i, j]});
     sel = null; render(r);
@@ -149,15 +168,21 @@ init();
 </script></body></html>
 """
 
-TWO_CLICK_ENVS = {"brandubh", "hnefatafl"}
+TWO_CLICK_ENVS = {"brandubh", "hnefatafl", "chess", "stratego"}
+FLIPPED_ENVS = {"chess"}  # displayed with the last board row on top
+
+CHESS_GLYPHS = {0: "", 1: "♙", 2: "♘", 3: "♗", 4: "♖", 5: "♕", 6: "♔",
+                -1: "♟", -2: "♞", -3: "♝", -4: "♜", -5: "♛", -6: "♚"}
+STRATEGO_RANKS = {1: "S", 2: "2", 3: "3", 4: "4", 5: "5", 6: "6", 7: "7",
+                  8: "8", 9: "9", 10: "M", 11: "B", 12: "F"}
 
 
 class GameSession:
     def __init__(self, env_name: str, opponent: str, human_seat: int,
-                 args=None):
+                 args=None, sims: int = 200):
         self.env = get_env(env_name)
         self.env_name = env_name
-        self.args = args or get_args(numMCTSSims=200, startTemp=0.0)
+        self.args = args or get_args(numMCTSSims=sims, startTemp=0.0)
         self.human_seat = human_seat
         self.state = self.env.init()
         self.history = [self.state]
@@ -172,7 +197,10 @@ class GameSession:
 
     def _build_opponent(self, spec: str):
         from alphazero_general_tpu.cli.pit import build_player
+        from alphazero_general_tpu.ops.native import GAME_IDS
 
+        if spec == "nativemcts" and self.env_name not in GAME_IDS:
+            spec = "rawmcts"  # C++ engine covers connect4/tictactoe only
         try:
             return build_player(spec, self.env, self.args, seed=0)
         except SystemExit as e:
@@ -181,16 +209,41 @@ class GameSession:
     # ------------------------------------------------------------------ view
     def _chars(self, v: int) -> str:
         name = self.env_name
-        if name in ("connect4", "gobang", "tictactoe"):
+        if name in ("connect4", "gobang", "tictactoe", "othello"):
             return {0: "", 1: "●", -1: "○"}.get(v, "?")
-        if name == "othello":
-            return {0: "", 1: "●", -1: "○"}.get(v, "?")
+        if name == "chess":
+            return CHESS_GLYPHS.get(v, "?")
+        if name == "stratego":
+            return self._stratego_char(v)
         if name in TWO_CLICK_ENVS:
             return {0: "", 1: "♙", 2: "♟", 3: "♔", 4: "▣", 5: "▢",
                     7: "♔", 8: "♔"}.get(v, "?")
         return str(v)
 
-    def _action_from_clicks(self, frm, to):
+    def _stratego_char(self, v: int) -> str:
+        # Imperfect information: censor unrevealed enemy ranks for the human.
+        from alphazero_general_tpu.envs import stratego as S
+
+        if v == 0:
+            return ""
+        base = v % S.VISIBLE_OFFSET
+        if base == S.LAKE:
+            return "≈"
+        rank = base % S.TEAM_OFFSET
+        is_red = 1 <= base <= S.NUM_PIECES
+        mine = is_red == (self.human_seat == 0)
+        visible = v >= S.VISIBLE_OFFSET
+        glyph = STRATEGO_RANKS.get(rank, "?") if (mine or visible) else "?"
+        return glyph if is_red else glyph.lower() + "\u0332"
+
+    def _to_board_coords(self, cell):
+        r, c = int(cell[0]), int(cell[1])
+        if self.env_name in FLIPPED_ENVS:
+            H = np.asarray(self.state.board).shape[0]
+            r = H - 1 - r
+        return r, c
+
+    def _action_from_clicks(self, frm, to, piece=None):
         env = self.env
         name = self.env_name
         if name == "connect4":
@@ -198,6 +251,31 @@ class GameSession:
         if name in ("tictactoe", "othello", "gobang"):
             H, W = np.asarray(self.state.board).shape
             return int(to[0]) * W + int(to[1])
+        if name == "chess":
+            from alphazero_general_tpu.envs.chess import uci_to_action
+
+            if frm is None:
+                raise ValueError("select a piece first")
+            fr, ff = self._to_board_coords(frm)
+            tr, tf = self._to_board_coords(to)
+            uci = (chr(97 + ff) + str(fr + 1) + chr(97 + tf) + str(tr + 1))
+            board = np.asarray(self.state.board)
+            if abs(int(board[fr, ff])) == 1 and tr in (0, 7):
+                uci += "q"  # web UI promotes to queen
+            return uci_to_action(self.state, uci)
+        if name == "stratego":
+            from alphazero_general_tpu.envs import stratego as S
+
+            if S.Stratego.in_placement(self.state):
+                ranks = {v: k for k, v in STRATEGO_RANKS.items()}
+                if piece not in ranks:
+                    raise ValueError("pick a piece type first")
+                return S.Stratego.encode_place(
+                    ranks[piece], int(to[0]), int(to[1]))
+            if frm is None:
+                raise ValueError("select a piece first")
+            return S.Stratego.encode_action(int(frm[0]), int(frm[1]),
+                                            int(to[0]), int(to[1]))
         if name in TWO_CLICK_ENVS:
             if frm is None:
                 raise ValueError("select a piece first")
@@ -225,8 +303,12 @@ class GameSession:
                 winner = int(np.argmax(win[:-1]))
                 message = "you win!" if winner == self.human_seat \
                     else "agent wins"
-        return {
-            "board": [[self._chars(int(v)) for v in row] for row in board],
+        # Signed view for chess (int8), raw for others.
+        rows = board.astype(np.int64)
+        if self.env_name in FLIPPED_ENVS:
+            rows = rows[::-1]
+        out = {
+            "board": [[self._chars(int(v)) for v in row] for row in rows],
             "terminal": terminal,
             "turns": int(self.state.turns),
             "player": int(self.state.player),
@@ -237,6 +319,18 @@ class GameSession:
             "hints": hints,
             "message": message,
         }
+        if self.env_name == "stratego":
+            from alphazero_general_tpu.envs import stratego as S
+
+            if S.Stratego.in_placement(self.state):
+                counts = np.asarray(
+                    self.state.red_to_place if self.human_seat == 0
+                    else self.state.blue_to_place)
+                out["place_counts"] = [
+                    [STRATEGO_RANKS[p], int(counts[p])]
+                    for p in range(1, S.NUM_PIECES + 1)
+                ]
+        return out
 
     def _cell_of_action(self, a: int):
         name = self.env_name
@@ -248,6 +342,21 @@ class GameSession:
         if name in ("tictactoe", "othello", "gobang"):
             W = np.asarray(self.state.board).shape[1]
             return [a // W, a % W]
+        if name == "chess":
+            from alphazero_general_tpu.envs.chess import action_to_uci
+
+            uci = action_to_uci(self.state, a)
+            tr, tf = int(uci[3]) - 1, ord(uci[2]) - 97
+            H = np.asarray(self.state.board).shape[0]
+            return [H - 1 - tr, tf]
+        if name == "stratego":
+            from alphazero_general_tpu.envs import stratego as S
+
+            if S.Stratego.in_placement(self.state):
+                cell = a % S.CELLS
+                return [cell // S.W, cell % S.W]
+            (_, _), (r2, c2) = S.Stratego.decode_action(a)
+            return [r2, c2]
         if name in TWO_CLICK_ENVS:
             (_, _), (r2, c2) = self.env.decode_action(a)
             return [r2, c2]
@@ -266,7 +375,7 @@ class GameSession:
             self.evaluator.start(self.state)
             return self.view("your move")
 
-    def human_move(self, frm, to) -> dict:
+    def human_move(self, frm, to, piece=None) -> dict:
         with self.lock:
             win = np.asarray(self.env.win_state(self.state))
             if win.any():
@@ -274,7 +383,7 @@ class GameSession:
             if int(self.state.player) != self.human_seat:
                 return self.view("not your turn")
             try:
-                action = self._action_from_clicks(frm, to)
+                action = self._action_from_clicks(frm, to, piece=piece)
             except ValueError as e:
                 return self.view(str(e))
             valids = np.asarray(self.env.valid_moves(self.state))
@@ -402,7 +511,7 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
         elif self.path == "/api/envs":
-            self._json({"envs": [e for e in list_envs() if e != "stratego"]})
+            self._json({"envs": list_envs()})
         elif self.path == "/api/train/status":
             self._json(_TRAIN.status())
         elif self.path.startswith("/api/state"):
@@ -428,6 +537,7 @@ class Handler(BaseHTTPRequestHandler):
                     payload.get("env", "connect4"),
                     payload.get("opponent", "nativemcts"),
                     int(payload.get("human_seat", 0)),
+                    sims=int(payload.get("sims", 200)),
                 )
                 gid = uuid.uuid4().hex[:12]
                 _SESSIONS[gid] = sess
@@ -439,7 +549,8 @@ class Handler(BaseHTTPRequestHandler):
                 if not sess:
                     self._json({"error": "unknown game"}, 404)
                     return
-                out = sess.human_move(payload.get("from"), payload.get("to"))
+                out = sess.human_move(payload.get("from"), payload.get("to"),
+                                      payload.get("piece"))
                 out["game"] = payload["game"]
                 self._json(out)
             elif self.path == "/api/undo":

@@ -177,3 +177,48 @@ class TestTrainPanel:
         assert "paused" in out or "error" in out
         out, _ = api(gui_server, "/api/train/stop", {})
         assert "ok" in out or "error" in out
+
+
+class TestChessStrategoWeb:
+    """Chess and stratego (placement phase) through the web API."""
+
+    def test_chess_flow(self, gui_server):
+        out, status = api(gui_server, "/api/new", {
+            "env": "chess", "opponent": "rawmcts", "human_seat": 0,
+            "sims": 4,
+        })
+        assert status == 200, out
+        game = out["game"]
+        assert out["needs_two_clicks"]
+        # Display is flipped: rank 8 on top; white pawns on display row 6.
+        assert out["board"][6][4] == "♙"  # white pawn on e2
+        assert out["board"][0][4] == "♚"  # black king on e8
+        # Human: e2e4 (display rows: e2 -> 6, e4 -> 4).
+        out, status = api(gui_server, "/api/move",
+                          {"game": game, "from": [6, 4], "to": [4, 4]})
+        assert status == 200, out
+        assert out["board"][4][4] == "♙"  # pawn arrived on e4
+        assert out["turns"] == 2  # agent replied
+        assert out["player"] == 0
+
+    def test_stratego_placement_flow(self, gui_server):
+        out, status = api(gui_server, "/api/new", {
+            "env": "stratego", "opponent": "rawmcts", "human_seat": 0,
+            "sims": 4,
+        })
+        assert status == 200, out
+        game = out["game"]
+        counts = dict((k, v) for k, v in out["place_counts"])
+        assert counts["F"] == 1 and counts["B"] == 5
+        # Place the flag at red's back rank.
+        out, status = api(gui_server, "/api/move",
+                          {"game": game, "to": [0, 0], "piece": "F"})
+        assert status == 200, out
+        assert out["board"][0][0] == "F"
+        counts = dict((k, v) for k, v in out["place_counts"])
+        assert counts["F"] == 0
+        assert out["turns"] == 2  # agent placed too
+        # Enemy placement must be censored ("?" with underline marker).
+        blues = [c for row in out["board"] for c in row
+                 if c and c[0] == "?"]
+        assert len(blues) == 1
