@@ -99,6 +99,37 @@ START_BOARD = jnp.asarray(_START)
 _ROW = jax.lax.broadcasted_iota(jnp.int32, (BOARD, BOARD), 0)
 _COL = jax.lax.broadcasted_iota(jnp.int32, (BOARD, BOARD), 1)
 
+# Zobrist hashing for threefold-repetition detection. Piece codes -6..6 map
+# to rows 0..12 of the table; empty (row 6) hashes to 0 so vacant squares
+# do not contribute.
+_zrng = np.random.default_rng(0xC4E55)
+_ztab = _zrng.integers(0, 2**32, size=(13, 64), dtype=np.uint32)
+_ztab[6] = 0
+ZOBRIST_PIECE = jnp.asarray(_ztab)
+ZOBRIST_CASTLE = jnp.asarray(
+    _zrng.integers(0, 2**32, size=(4,), dtype=np.uint32))
+ZOBRIST_EP_FILE = jnp.asarray(
+    _zrng.integers(0, 2**32, size=(8,), dtype=np.uint32))
+ZOBRIST_SIDE = jnp.uint32(int(_zrng.integers(0, 2**32, dtype=np.uint32)))
+#: repetition ring length — bounded by the 50-move rule (100 plies) plus the
+#: current position.
+HIST_LEN = 101
+
+
+def _position_hash(board, castling, ep, player) -> jnp.ndarray:
+    """uint32 Zobrist hash of the full repetition-relevant position (board,
+    side to move, castling rights, ep file)."""
+    rows = jnp.clip(board.astype(jnp.int32) + 6, 0, 12).reshape(64)
+    h = jax.lax.reduce(
+        ZOBRIST_PIECE[rows, jnp.arange(64)], jnp.uint32(0),
+        jax.lax.bitwise_xor, (0,),
+    )
+    cast = jnp.where(castling, ZOBRIST_CASTLE, jnp.uint32(0))
+    h = h ^ cast[0] ^ cast[1] ^ cast[2] ^ cast[3]
+    h = h ^ jnp.where(ep >= 0, ZOBRIST_EP_FILE[jnp.maximum(ep, 0) % 8],
+                      jnp.uint32(0))
+    return h ^ jnp.where(player == 1, ZOBRIST_SIDE, jnp.uint32(0))
+
 
 @struct.dataclass
 class ChessState:
@@ -106,6 +137,7 @@ class ChessState:
     castling: jnp.ndarray  # bool[4] = [WK, WQ, BK, BQ]
     ep: jnp.ndarray  # int32 en-passant target square (rank*8+file), -1 = none
     halfmove: jnp.ndarray  # int32, 50-move-rule clock (plies)
+    hist: jnp.ndarray  # uint32[HIST_LEN] Zobrist ring since last zeroing move
     player: jnp.ndarray  # int32 scalar, 0 = White
     turns: jnp.ndarray  # int32 scalar (plies played)
     last_action: jnp.ndarray  # int32 scalar
@@ -346,11 +378,15 @@ class Chess(Env):
 
     @staticmethod
     def init() -> ChessState:
+        hist = jnp.zeros(HIST_LEN, jnp.uint32).at[0].set(
+            _position_hash(START_BOARD, jnp.ones(4, bool), jnp.int32(-1),
+                           jnp.int32(0)))
         return ChessState(
             board=START_BOARD,
             castling=jnp.ones(4, bool),
             ep=jnp.int32(-1),
             halfmove=jnp.int32(0),
+            hist=hist,
             player=jnp.int32(0),
             turns=jnp.int32(0),
             last_action=jnp.int32(-1),
@@ -398,15 +434,28 @@ class Chess(Env):
 
         castling = state.castling & RIGHTS_MASK[from_sq] & RIGHTS_MASK[to_sq]
         is_double = is_pawn & (jnp.abs(tr - fr) == 2)
-        ep = jnp.where(is_double, ((fr + tr) // 2) * 8 + ff, -1)
-        halfmove = jnp.where(is_pawn | is_capture, 0, state.halfmove + 1)
+        ep = jnp.asarray(
+            jnp.where(is_double, ((fr + tr) // 2) * 8 + ff, -1), jnp.int32)
+        halfmove = jnp.asarray(
+            jnp.where(is_pawn | is_capture, 0, state.halfmove + 1), jnp.int32)
+        player = (state.player + 1) % NUM_PLAYERS
+
+        # Repetition ring: pawn moves and captures are irreversible, so the
+        # ring restarts whenever the 50-move clock resets; the write index is
+        # the clock itself (bounded by HIST_LEN - 1; at 100 the game is a
+        # draw regardless).
+        h = _position_hash(board, castling, ep, player)
+        idx = jnp.minimum(halfmove, HIST_LEN - 1)
+        hist = jnp.where(halfmove == 0, jnp.zeros_like(state.hist), state.hist)
+        hist = hist.at[idx].set(h)
 
         return ChessState(
             board=board,
             castling=castling,
-            ep=jnp.asarray(ep, jnp.int32),
-            halfmove=jnp.asarray(halfmove, jnp.int32),
-            player=(state.player + 1) % NUM_PLAYERS,
+            ep=ep,
+            halfmove=halfmove,
+            hist=hist,
+            player=player,
             turns=state.turns + 1,
             last_action=action,
         )
@@ -423,8 +472,14 @@ class Chess(Env):
         mate = no_moves & in_check
         p0 = mate & (state.player == 1)
         p1 = mate & (state.player == 0)
+        cur = _position_hash(state.board, state.castling, state.ep,
+                             state.player)
+        in_ring = jnp.arange(HIST_LEN) <= jnp.minimum(state.halfmove,
+                                                      HIST_LEN - 1)
+        repetitions = jnp.sum((state.hist == cur) & in_ring)
         draw = ((no_moves & ~in_check)
                 | (state.halfmove >= 100)
+                | (repetitions >= 3)
                 | (state.turns >= MAX_TURNS)
                 | _insufficient_material(state.board)) & ~mate
         return jnp.stack([p0, p1, draw]).astype(jnp.float32)
@@ -498,11 +553,15 @@ def from_fen(fen: str) -> ChessState:
     rights = np.array([c in castle for c in "KQkq"])
     ep = -1 if ep_s == "-" else (int(ep_s[1]) - 1) * 8 + (ord(ep_s[0]) - 97)
     turns = (full - 1) * 2 + player
+    hist = jnp.zeros(HIST_LEN, jnp.uint32).at[min(half, HIST_LEN - 1)].set(
+        _position_hash(jnp.asarray(board), jnp.asarray(rights),
+                       jnp.int32(ep), jnp.int32(player)))
     return ChessState(
         board=jnp.asarray(board),
         castling=jnp.asarray(rights),
         ep=jnp.int32(ep),
         halfmove=jnp.int32(half),
+        hist=hist,
         player=jnp.int32(player),
         turns=jnp.int32(turns),
         last_action=jnp.int32(-1),

@@ -109,7 +109,47 @@ def main() -> None:
         "measure_s": round(elapsed, 1),
         "model": "resnet128x8",
     }
+    tafl = _tafl_datapoint()
+    if tafl is not None:
+        result["hnefatafl_sims_per_s"] = tafl
     print(json.dumps(result))
+
+
+def _tafl_datapoint():
+    """Large-action-space datapoint (A=2420, XLA walk + mirror rows).
+
+    Guarded: the tunnel intermittently refuses larger programs
+    (ROADMAP infrastructure notes); the headline metric must never fail
+    because of the extra."""
+    if os.environ.get("BENCH_SKIP_TAFL"):
+        return None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from alphazero_general_tpu.envs import get_env
+        from alphazero_general_tpu.mcts.search import (
+            init_batched_trees, search, uniform_eval_fn,
+        )
+        from alphazero_general_tpu.mcts.tree import SearchSpec
+
+        env = get_env("hnefatafl")
+        B, SIMS = 512, 100
+        spec = SearchSpec(num_players=2, has_draw=True)
+        eval_fn = uniform_eval_fn(env.ACTION_SIZE, 3)
+        states = jax.vmap(lambda _: env.init())(jnp.arange(B))
+
+        @jax.jit
+        def run(states, rng):
+            trees = init_batched_trees(env, states, SIMS + 2, 3)
+            return search(env, trees, spec, eval_fn, SIMS, rng)
+
+        jax.block_until_ready(run(states, jax.random.PRNGKey(0)))
+        t0 = time.time()
+        jax.block_until_ready(run(states, jax.random.PRNGKey(1)))
+        return round(B * SIMS / (time.time() - t0), 1)
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

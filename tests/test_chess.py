@@ -213,3 +213,26 @@ def test_registry_and_contract():
     assert env.valid_moves(s).shape == (env.ACTION_SIZE,)
     assert float(env.crude_value(s)) == 0.5
     assert "White to move" in env.display(s)
+
+
+def test_threefold_repetition_draw():
+    # Shuffle knights back and forth: the third occurrence of the start
+    # position (same side to move, rights unchanged) is a draw.
+    s = Chess.init()
+    moves = ["g1f3", "g8f6", "f3g1", "f6g8"]
+    for cycle in range(2):
+        for u in moves:
+            assert np.asarray(Chess.win_state(s)).sum() == 0, (cycle, u)
+            s = _play(s, u)
+    # Position now equals the start position for the third time.
+    assert np.asarray(Chess.win_state(s)).tolist() == [0.0, 0.0, 1.0]
+
+
+def test_repetition_ring_resets_on_pawn_move():
+    s = Chess.init()
+    for u in ["g1f3", "g8f6", "f3g1", "f6g8",
+              "e2e4", "e7e5",  # irreversible: resets the ring
+              "g1f3", "g8f6", "f3g1", "f6g8"]:
+        s = _play(s, u)
+    # Only the second occurrence of the post-e4/e5 position: no draw.
+    assert np.asarray(Chess.win_state(s)).sum() == 0
