@@ -51,22 +51,19 @@ def _pick_walk_impl(trees, walk_impl: str) -> str:
         return walk_impl
     B, N = trees.n.shape
     A = trees.num_actions
-    if (_on_tpu() and B % 128 == 0 and N * A <= _PALLAS_MAX_NODE_ACTION
-            and trees.edge_n is None):
+    if _on_tpu() and B % 128 == 0 and N * A <= _PALLAS_MAX_NODE_ACTION:
         return "pallas"
     return "xla"
 
 
 def _pick_backup_impl(trees, walk_impl: str) -> str:
     """The slim backup kernel carries no per-edge arrays, so its gate is on
-    node count only — but mirror-carrying trees (large action spaces, see
-    tree.needs_mirrors) must take the XLA backup, which refreshes the
-    mirrors with a path scatter."""
+    node count only — large-action trees qualify even when the walk falls
+    back to XLA."""
     if walk_impl != "auto":
         return walk_impl
     B, N = trees.n.shape
-    if (_on_tpu() and B % 128 == 0 and N <= _PALLAS_BACKUP_MAX_NODES
-            and trees.edge_n is None):
+    if _on_tpu() and B % 128 == 0 and N <= _PALLAS_BACKUP_MAX_NODES:
         return "pallas"
     return "xla"
 
@@ -86,33 +83,51 @@ def _batched_walk(trees, spec, tiebreaks, walk_impl: str):
 
 def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
                   rng: jnp.ndarray, add_root_noise=None, add_root_temp=None,
-                  root_adjust: bool = True, walk_impl: str = "auto"):
+                  root_adjust: bool = True, walk_impl: str = "auto",
+                  uniform_slot=None, expand_root_only: bool = False):
     """One simulation round for every game in the batch.
 
     ``walk_impl``: 'auto' | 'pallas' | 'pallas_interpret' | 'xla' — which
     implementation performs the PUCT descent (identical semantics).
+
+    ``uniform_slot``: fresh-tree fast path (see tree.apply_walk) — the slot
+    simulation k allocates is k, identical for every game, so the big-row
+    writes lower as dynamic-update-slices instead of scatters.
+    ``expand_root_only`` (static): the very first simulation on a fresh tree
+    — every game's leaf is the root; the walk is skipped entirely.
     """
     B = trees.n.shape[0]
     A = trees.num_actions
     rng_find, rng_noise = jax.random.split(rng)
-    tiebreaks = jax.vmap(
-        lambda k: jax.random.uniform(k, (A,)) * 1e-6
-    )(jax.random.split(rng_find, B))
 
-    walk = _batched_walk(trees, spec, tiebreaks,
-                         _pick_walk_impl(trees, walk_impl))
-    trees = jax.vmap(
-        lambda t, n_, a_, c_, d_, s_: T.apply_walk(env, t, n_, a_, c_, d_, s_)
-    )(trees, *walk)
+    if expand_root_only:
+        trees = jax.vmap(lambda t: T.expand_root(env, t))(trees)
+        obs = jax.vmap(lambda t: T.leaf_observation(env, t))(trees)
+    else:
+        tiebreaks = jax.vmap(
+            lambda k: jax.random.uniform(k, (A,)) * 1e-6
+        )(jax.random.split(rng_find, B))
+        walk = _batched_walk(trees, spec, tiebreaks,
+                             _pick_walk_impl(trees, walk_impl))
+        if uniform_slot is None:
+            trees = jax.vmap(
+                lambda t, n_, a_, c_, d_, s_: T.apply_walk(
+                    env, t, n_, a_, c_, d_, s_)
+            )(trees, *walk)
+            obs = jax.vmap(lambda t: T.leaf_observation(env, t))(trees)
+        else:
+            trees, obs = jax.vmap(
+                lambda t, n_, a_, c_, d_, s_: T.apply_walk_observe(
+                    env, t, n_, a_, c_, d_, s_, uniform_slot)
+            )(trees, *walk)
 
-    obs = jax.vmap(lambda t: T.leaf_observation(env, t))(trees)
     pi, value = eval_fn(obs)
 
     values = jax.vmap(T.resolve_value)(trees, value)
     trees = jax.vmap(
         lambda t, p, r: T.install_prior(
             t, p, spec, r, add_root_noise, add_root_temp,
-            root_adjust=root_adjust,
+            root_adjust=root_adjust, uniform_slot=uniform_slot,
         )
     )(trees, pi, jax.random.split(rng_noise, B))
 
@@ -132,19 +147,44 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
 
 def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
            rng: jnp.ndarray, add_root_noise=None, add_root_temp=None,
-           walk_impl: str = "auto"):
+           walk_impl: str = "auto", fresh_tree: bool = True):
     """Run ``sims`` simulation rounds (reference: MCTS.pyx:165-173).
 
     ``sims`` must be static (scan length). With a fresh tree per move the
     root can only be the leaf on the first simulation, so only that one
     carries the root-noise/temperature trace (MCTS.pyx:247-256).
+
+    ``fresh_tree=True`` (static) asserts ``trees`` has never been searched
+    (n[root] == 0 for every game) and enables the uniform-slot write path:
+    simulation k allocates slot k for every game, so the per-sim big-row
+    writes are dynamic-update-slices, not scatters. Pass ``False`` for
+    trees carried across moves (tree reuse / reroot).
     """
+    # Uniform slots need one slot per simulation (plus root and the dummy
+    # sink); degrade gracefully to the general path on undersized arenas.
+    fresh_tree = fresh_tree and sims <= trees.n.shape[1] - 1
     rng_first, rng_rest = jax.random.split(rng)
     trees = simulate_step(
         env, trees, spec, eval_fn, rng_first, add_root_noise, add_root_temp,
         root_adjust=True, walk_impl=walk_impl,
+        uniform_slot=jnp.int32(0) if fresh_tree else None,
+        expand_root_only=fresh_tree,
     )
     if sims <= 1:
+        return trees
+
+    if fresh_tree:
+        def body(trees, xs):
+            r, slot = xs
+            trees = simulate_step(
+                env, trees, spec, eval_fn, r, add_root_noise, add_root_temp,
+                root_adjust=False, walk_impl=walk_impl, uniform_slot=slot,
+            )
+            return trees, None
+
+        xs = (jax.random.split(rng_rest, sims - 1),
+              jnp.arange(1, sims, dtype=jnp.int32))
+        trees, _ = jax.lax.scan(body, trees, xs)
         return trees
 
     def body(trees, r):

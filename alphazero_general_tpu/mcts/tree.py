@@ -10,10 +10,10 @@ SelfPlayAgent.pyx:103-151) collapses into `simulate_step`: leaves for every
 game are found, evaluated in a single batched network call, and backed up —
 all inside the same compiled program, no processes/queues/shared tensors.
 
-Memory layout (TPU-critical): per-node row arrays (children, priors, valids,
+Memory layout (TPU-critical): per-node row arrays (priors, valids,
 env-state snapshots, terminal vectors) with SUB-TILE rows are stored
-**flattened to one axis per game** — connect4's ``children`` is
-``int32[(N)*A]``; under ``vmap`` the batched buffers are 2-D ``[B, N*A]``,
+**flattened to one axis per game** — connect4's ``prior`` is
+``f32[(N)*A]``; under ``vmap`` the batched buffers are 2-D ``[B, N*A]``,
 which tile cleanly onto the TPU's (8,128)/(32,128) memory tiles. The naive
 ``[B, N, A]`` layout pads the minor A axis to 128 lanes — an 18x physical
 blow-up for connect4 (A=7) that made every carried-tree copy and fusion read
@@ -83,16 +83,16 @@ class SearchSpec(NamedTuple):
 class Tree:
     """Fixed-capacity search tree for ONE game (batch via vmap).
 
-    Node 0 is the root. ``children`` holds node indices per (node, action)
-    edge, UNVISITED until first traversed; node slots are allocated in visit
-    order from ``next_free``. Per-node stats mirror the reference Node fields
+    Node 0 is the root; node slots are allocated in visit order from
+    ``next_free``. Per-node stats mirror the reference Node fields
     (MCTS.pyx:49-71): ``n``/``q``/``v``/``prior``/``player``/``e``.
+    There is NO stored child-pointer array: edges are derived on the fly
+    from ``parent``/``parent_action`` (see :func:`child_row`).
 
     Row arrays are flat (see module docstring): element (node, a) of
-    ``children``/``valids``/``prior`` lives at index
-    ``node * num_actions + a``; node ``i``'s terminal vector is
-    ``e[i*value_size : (i+1)*value_size]``; each ``node_state`` leaf of
-    per-node size S is ``[rows * S]``.
+    ``valids``/``prior`` lives at index ``node * num_actions + a``; node
+    ``i``'s terminal vector is ``e[i*value_size : (i+1)*value_size]``; each
+    ``node_state`` leaf of per-node size S is ``[rows * S]``.
     """
 
     # Env state snapshot per node (stacked, flattened pytree) — replaces the
@@ -100,7 +100,6 @@ class Tree:
     node_state: object
     parent: jnp.ndarray  # int32[N]
     parent_action: jnp.ndarray  # int32[N]
-    children: jnp.ndarray  # int32[N*A]
     valids: jnp.ndarray  # bool[N*A]
     prior: jnp.ndarray  # float32[N*A]
     n: jnp.ndarray  # int32[N] visit counts
@@ -108,14 +107,6 @@ class Tree:
     v: jnp.ndarray  # float32[N] first-visit net value (own perspective)
     e: jnp.ndarray  # float32[N*value_size] terminal win vectors
     player: jnp.ndarray  # int32[N] player to move at the node
-    # Per-edge mirrors of the child's n/q (edge_n[p*A+a] == n[children[p*A+a]]),
-    # present ONLY for large action spaces (see needs_mirrors): the vmapped XLA
-    # walk reads child stats as mirror rows there, because an A-wide index
-    # gather per walk step lowers to a one-hot contraction that exhausts HBM
-    # for A in the thousands. Small-A envs run the Pallas walk, which computes
-    # child stats in VMEM — no mirrors to carry, stream, or maintain.
-    edge_n: jnp.ndarray | None
-    edge_q: jnp.ndarray | None
     next_free: jnp.ndarray  # int32 scalar — next unallocated slot
     depth: jnp.ndarray  # int32 scalar — depth of last find_leaf
     max_depth: jnp.ndarray  # int32 scalar — max depth this search
@@ -135,16 +126,6 @@ class Tree:
     @property
     def action_size(self) -> int:
         return self.num_actions
-
-
-#: Mirror threshold — aligned with the Pallas walk's VMEM gate
-#: (mcts/search.py _PALLAS_MAX_NODE_ACTION): trees small enough for the
-#: fused walk never need mirrors.
-MIRROR_MIN_NODE_ACTION = 2048
-
-
-def needs_mirrors(num_rows: int, action_size: int) -> bool:
-    return num_rows * action_size > MIRROR_MIN_NODE_ACTION
 
 
 #: Row arrays whose row size reaches a TPU lane tile keep the plain 2-D
@@ -203,6 +184,47 @@ def _set_row(buf: jnp.ndarray, idx, row: jnp.ndarray) -> jnp.ndarray:
     return b2.at[idx].set(row).reshape(buf.shape)
 
 
+def _set_row_uniform(buf: jnp.ndarray, idx, row: jnp.ndarray) -> jnp.ndarray:
+    """Row write at an index that is UNIFORM across the vmapped batch.
+
+    Per-game row scatters are poison at scale: the scatter's preferred
+    layout differs from the row-read gathers', costing a whole-buffer layout
+    copy per simulation (measured 1.6 ms per 0.5 GB buffer at tafl scale).
+    With a uniform index:
+
+    * big 2-D row buffers: read-modify-write an 8-row-ALIGNED window via
+      dynamic-slice + dynamic-update-slice (vmap keeps them DUS when the
+      start is unbatched) — in-place, layout-neutral, touches 8 rows instead
+      of the whole buffer (the full-buffer dense select costs ~1.3 ms/sim at
+      tafl scale; the window ~0.3 ms);
+    * small flat buffers: one fused dense select pass.
+    """
+    row = row.astype(buf.dtype)
+    if buf.ndim == 2:
+        rows = buf.shape[0]
+        if rows < 8:  # tiny arenas: window cannot fit, dense is free anyway
+            onehot = (jax.lax.iota(jnp.int32, rows) == idx)[:, None]
+            return jnp.where(onehot, row[None, :], buf)
+        base = jnp.minimum((idx // 8) * 8, rows - 8)
+        win = jax.lax.dynamic_slice(buf, (base, jnp.int32(0)),
+                                    (8, buf.shape[1]))
+        sub = (jax.lax.iota(jnp.int32, 8) == idx - base)[:, None]
+        win = jnp.where(sub, row[None, :], win)
+        return jax.lax.dynamic_update_slice(buf, win, (base, jnp.int32(0)))
+    size = row.shape[0]
+    rows = buf.shape[0] // size
+    onehot = (jax.lax.iota(jnp.int32, rows) == idx)[:, None]
+    return jnp.where(onehot, row[None, :],
+                     buf.reshape(rows, size)).reshape(buf.shape)
+
+
+def _scatter_state_uniform(tree_node_state, state, idx):
+    return jax.tree_util.tree_map(
+        lambda buf, x: _set_row_uniform(buf, idx, jnp.ravel(x)),
+        tree_node_state, state,
+    )
+
+
 def gather_state(env, tree: Tree, idx):
     """Reconstruct the env-state pytree stored at node ``idx``."""
     template = env.init()
@@ -236,12 +258,10 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
         root_state,
     )
     node_state = _scatter_state(node_state, root_state, 0)
-    mirrors = needs_mirrors(rows, A)
     return Tree(
         node_state=node_state,
         parent=jnp.full((rows,), UNVISITED, jnp.int32),
         parent_action=jnp.full((rows,), UNVISITED, jnp.int32),
-        children=_alloc_rows(rows, A, jnp.int32, UNVISITED),
         valids=_alloc_rows(rows, A, jnp.bool_, False),
         prior=_alloc_rows(rows, A, jnp.float32),
         n=jnp.zeros((rows,), jnp.int32),
@@ -249,8 +269,6 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
         v=jnp.zeros((rows,), jnp.float32),
         e=_alloc_rows(rows, value_size, jnp.float32),
         player=jnp.zeros((rows,), jnp.int32),
-        edge_n=_alloc_rows(rows, A, jnp.int32) if mirrors else None,
-        edge_q=_alloc_rows(rows, A, jnp.float32) if mirrors else None,
         next_free=jnp.int32(1),
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -268,25 +286,56 @@ def _get_value(value_vec: jnp.ndarray, player: jnp.ndarray, spec: SearchSpec):
     return v
 
 
+def child_row(tree: Tree, node: jnp.ndarray):
+    """Derive (child_idx [A], child_n [A], child_q [A]) at ``node`` from the
+    parent/parent_action columns.
+
+    There is no stored child-pointer array: the edge ``(node, a) -> c`` is
+    recovered as "the node ``c`` with ``parent[c] == node`` and
+    ``parent_action[c] == a``" via one fused [A, N] compare-reduce over the
+    (small) node axis. This removes the O(N*A) children buffer — at tafl
+    scale a 0.5 GB array whose per-sim single-element scatter forced a
+    whole-buffer layout copy each simulation — and is also how child n/q
+    stats are read: fancy indexing (``n[idx]``) inside a vmapped while_loop
+    lowers to a scalar-path gather fusion (~100 ns/element — measured
+    12.6 ms per walk step at B=512, A=2420), while the one-hot reduction
+    stays a fused VPU pass.
+
+    The dummy write-sink row (last) is excluded: masked scatters park junk
+    parent/parent_action values there, which must never manufacture an edge.
+    """
+    parent = tree.parent[:-1]  # [N-1] — exclude the dummy sink
+    pa = tree.parent_action[:-1]
+    iota_a = jax.lax.iota(jnp.int32, tree.num_actions)[:, None]
+    iota_n = jax.lax.iota(jnp.int32, parent.shape[0])[None, :]
+    onehot = (parent[None, :] == node) & (pa[None, :] == iota_a)  # [A, N-1]
+    exists = jnp.any(onehot, axis=1)
+    child_idx = jnp.where(
+        exists, jnp.sum(jnp.where(onehot, iota_n, 0), axis=1), UNVISITED
+    ).astype(jnp.int32)
+    child_n = jnp.sum(jnp.where(onehot, tree.n[None, :-1], 0), axis=1)
+    child_q = jnp.sum(jnp.where(onehot, tree.q[None, :-1], 0.0), axis=1)
+    return child_idx, child_n, child_q
+
+
 def _child_scores(tree: Tree, node: jnp.ndarray, spec: SearchSpec,
-                  tiebreak: jnp.ndarray) -> jnp.ndarray:
+                  tiebreak: jnp.ndarray):
     """PUCT scores of every action at ``node`` (MCTS.pyx:86-104).
 
     ``tiebreak`` is a tiny uniform perturbation standing in for the
-    reference's child-list shuffle (MCTS.pyx:78-79). Child statistics are
-    gathered through the child indices (a leading-axis take over the n/q
-    columns — the fast TPU gather path; unallocated edges read as n=0).
+    reference's child-list shuffle (MCTS.pyx:78-79). Unlike
+    :func:`child_row`, no child indices are derived here: an allocated child
+    always has n > 0 (it is visited by the simulation that allocates it), so
+    ``child_n > 0`` doubles as the existence test and the scoring loop needs
+    only the two n/q reductions.
     """
+    parent = tree.parent[:-1]
+    pa = tree.parent_action[:-1]
+    iota_a = jax.lax.iota(jnp.int32, tree.num_actions)[:, None]
+    onehot = (parent[None, :] == node) & (pa[None, :] == iota_a)  # [A, N-1]
+    child_n = jnp.sum(jnp.where(onehot, tree.n[None, :-1], 0), axis=1)
+    child_q = jnp.sum(jnp.where(onehot, tree.q[None, :-1], 0.0), axis=1)
     A = tree.num_actions
-    if tree.edge_n is not None:
-        child_n = _row(tree.edge_n, node, A)
-        child_q = _row(tree.edge_q, node, A)
-    else:
-        child_idx = _row(tree.children, node, A)
-        exists = child_idx != UNVISITED
-        safe = jnp.where(exists, child_idx, 0)
-        child_n = jnp.where(exists, tree.n[safe], 0)
-        child_q = jnp.where(exists, tree.q[safe], 0.0)
     p = _row(tree.prior, node, A)
     valid = _row(tree.valids, node, A)
 
@@ -311,26 +360,33 @@ def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
     """
     A = tree.num_actions
     V = tree.value_size
+    eany = jnp.any(tree.e.reshape(-1, V) > 0, axis=1)  # [N] terminal flags
     root_unexpanded = tree.n[ROOT] == 0
-    root_terminal = jnp.any(tree.e[:V] > 0)
-    skip_walk = root_unexpanded | root_terminal
+    skip_walk = root_unexpanded | eany[ROOT]
 
     def cond(carry):
         _node, _action, _child, _depth, done = carry
         return ~done
 
+    iota_n = jax.lax.iota(jnp.int32, tree.parent.shape[0] - 1)
+
     def body(carry):
         node, _action, _child, depth, _done = carry
         scores = _child_scores(tree, node, spec, tiebreak)
         action = jnp.argmax(scores).astype(jnp.int32)
-        child = tree.children.reshape(-1, A)[node, action]
-        exists = child != UNVISITED
-        safe_child = jnp.where(exists, child, 0)
+        # The chosen edge's child is derived AFTER the argmax with one [N]
+        # pass over the parent links (deriving the whole [A] child row during
+        # scoring would double the walk's compare-reduce work).
+        sel = (tree.parent[:-1] == node) & (tree.parent_action[:-1] == action)
+        exists = jnp.any(sel)
+        child = jnp.where(
+            exists, jnp.sum(jnp.where(sel, iota_n, 0)), UNVISITED
+        ).astype(jnp.int32)
         # Existing children always have n > 0 (a node is visited by the same
         # simulation that allocates it), so the walk stops at an unallocated
         # edge or a terminal child (the reference's n>0 / e.any() conditions,
         # MCTS.pyx:213).
-        child_terminal = exists & jnp.any(_row(tree.e, safe_child, V) > 0)
+        child_terminal = exists & jnp.any(sel & eany[:-1])
         done = ~exists | child_terminal
         next_node = jnp.where(done & ~exists, node, child)
         return next_node, action, child, depth + 1, done
@@ -343,46 +399,124 @@ def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
     return node, action, child, depth, skip_walk
 
 
-def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk) -> Tree:
+def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
+               uniform_slot=None) -> Tree:
     """Allocate/expand the walk's leaf (MCTS.pyx:218-228) — the write half of
-    find_leaf, as unconditional single-row scatters routed to the dummy sink
-    when inactive."""
-    DUMMY = jnp.int32(tree.dummy)
-    A = tree.num_actions
+    find_leaf.
 
-    # ---- allocation (masked single-row scatters) ---------------------------
+    Two write strategies:
+
+    * ``uniform_slot=None`` (general): masked single-row scatters routed to
+      the dummy sink when inactive, slot = per-game ``next_free``. Correct
+      for any tree (including reused/rerooted trees whose allocation fronts
+      diverge across games).
+    * ``uniform_slot`` given (a traced scalar, the SAME for every game in
+      the vmapped batch — valid for fresh-tree searches where simulation k
+      can only ever allocate slot k): all big-row writes (state snapshot,
+      valids, terminal vector) go to ``uniform_slot`` UNCONDITIONALLY —
+      games that allocated get real data; games whose walk ended at a
+      terminal node leave junk in an unreferenced slot (its parent stays
+      UNVISITED, so no derived edge can reach it). Uniform-index writes
+      lower as dynamic-update-slices, avoiding the per-game scatter whose
+      layout preferences force whole-buffer copies each simulation.
+    """
+    DUMMY = jnp.int32(tree.dummy)
+
     need_alloc = (child == UNVISITED) & ~skip_walk
-    slot = jnp.where(need_alloc, tree.next_free, DUMMY)
     parent_state = gather_state(env, tree, node)
     child_state = env.step(parent_state, action)
-    node_state = _scatter_state(tree.node_state, child_state, slot)
-    edge_row = jnp.where(need_alloc, node, DUMMY)
-    edge_col = jnp.where(need_alloc, action, 0)
-    children = (tree.children.reshape(-1, A).at[edge_row, edge_col].set(slot)
-                .reshape(tree.children.shape))
-    tree = tree.replace(
-        node_state=node_state,
-        parent=tree.parent.at[slot].set(node),
-        parent_action=tree.parent_action.at[slot].set(action),
-        children=children,
-        next_free=tree.next_free + need_alloc.astype(jnp.int32),
-    )
 
-    leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
+    if uniform_slot is None:
+        # ---- allocation (masked single-row scatters) -----------------------
+        slot = jnp.where(need_alloc, tree.next_free, DUMMY)
+        node_state = _scatter_state(tree.node_state, child_state, slot)
+        # No child-pointer array exists: writing (parent, parent_action) at
+        # the new slot IS the edge insertion (see child_row).
+        tree = tree.replace(
+            node_state=node_state,
+            parent=tree.parent.at[slot].set(node),
+            parent_action=tree.parent_action.at[slot].set(action),
+            next_free=tree.next_free + need_alloc.astype(jnp.int32),
+        )
+        leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
+        max_depth = jnp.maximum(tree.max_depth, depth)
+        tree = tree.replace(depth=depth, max_depth=max_depth, leaf=leaf)
 
-    # Track max depth for the discount exponent (MCTS.pyx:219-221).
-    max_depth = jnp.maximum(tree.max_depth, depth)
-    tree = tree.replace(depth=depth, max_depth=max_depth, leaf=leaf)
+        # ---- expansion: player / terminal / valids (MCTS.pyx:223-226) ------
+        leaf_state = gather_state(env, tree, leaf)
+        expand_row = jnp.where(tree.n[leaf] == 0, leaf, DUMMY)
+        return tree.replace(
+            player=tree.player.at[expand_row].set(leaf_state.player),
+            e=_set_row(tree.e, expand_row, env.win_state(leaf_state)),
+            valids=_set_row(tree.valids, expand_row,
+                            env.valid_moves(leaf_state)),
+        )
 
-    # ---- expansion: player / terminal vector / valids (MCTS.pyx:223-226) ---
-    leaf_state = gather_state(env, tree, leaf)
-    expand_row = jnp.where(tree.n[leaf] == 0, leaf, DUMMY)
-    tree = tree.replace(
-        player=tree.player.at[expand_row].set(leaf_state.player),
-        e=_set_row(tree.e, expand_row, env.win_state(leaf_state)),
-        valids=_set_row(tree.valids, expand_row, env.valid_moves(leaf_state)),
+    # ---- uniform-slot mode -------------------------------------------------
+    tree, _obs = _apply_walk_uniform(
+        env, tree, node, action, child, depth, skip_walk, need_alloc,
+        child_state, uniform_slot,
     )
     return tree
+
+
+def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
+                        need_alloc, child_state, uniform_slot):
+    DUMMY = jnp.int32(tree.dummy)
+    slot = jnp.asarray(uniform_slot, jnp.int32)
+    alloc_row = jnp.where(need_alloc, slot, DUMMY)
+    tree = tree.replace(
+        node_state=_scatter_state_uniform(tree.node_state, child_state, slot),
+        parent=tree.parent.at[alloc_row].set(node),
+        parent_action=tree.parent_action.at[alloc_row].set(action),
+        # Junk slots (games that did not allocate) stay within the bound but
+        # are unreachable (parent UNVISITED); the bound preserves the
+        # rows-beyond-are-pristine invariant reroot depends on.
+        next_free=slot + 1,
+    )
+    leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
+    max_depth = jnp.maximum(tree.max_depth, depth)
+    # Expansion data is the freshly stepped child state — when the leaf is
+    # NOT the new slot (terminal revisit) the leaf is already expanded and
+    # the uniform write lands in the junk slot.
+    tree = tree.replace(
+        depth=depth, max_depth=max_depth, leaf=leaf,
+        player=tree.player.at[slot].set(child_state.player),
+        e=_set_row_uniform(tree.e, slot, env.win_state(child_state)),
+        valids=_set_row_uniform(tree.valids, slot,
+                                env.valid_moves(child_state)),
+    )
+    # The leaf observation comes straight from the stepped state (no second
+    # node_state gather): when the leaf is not the slot it is terminal, its
+    # value is resolved from the stored e, and the observation is dead.
+    return tree, env.observation(child_state)
+
+
+def apply_walk_observe(env, tree: Tree, node, action, child, depth, skip_walk,
+                       uniform_slot):
+    """Uniform-slot apply_walk that also returns the leaf observation
+    (see _apply_walk_uniform)."""
+    need_alloc = (child == UNVISITED) & ~skip_walk
+    parent_state = gather_state(env, tree, node)
+    child_state = env.step(parent_state, action)
+    return _apply_walk_uniform(env, tree, node, action, child, depth,
+                               skip_walk, need_alloc, child_state,
+                               uniform_slot)
+
+
+def expand_root(env, tree: Tree) -> Tree:
+    """First simulation on a FRESH tree: every game's leaf is the root and no
+    allocation can occur, so expansion writes go to the static root row (no
+    scatter at all). Replaces apply_walk for that one simulation."""
+    root_state = gather_state(env, tree, ROOT)
+    return tree.replace(
+        depth=jnp.int32(0),
+        leaf=jnp.int32(ROOT),
+        player=tree.player.at[0].set(root_state.player),
+        e=_set_row_uniform(tree.e, jnp.int32(0), env.win_state(root_state)),
+        valids=_set_row_uniform(tree.valids, jnp.int32(0),
+                                env.valid_moves(root_state)),
+    )
 
 
 def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
@@ -415,7 +549,7 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
                   rng: jnp.ndarray,
                   add_root_noise: bool | jnp.ndarray = None,
                   add_root_temp: bool | jnp.ndarray = None,
-                  root_adjust: bool = True) -> Tree:
+                  root_adjust: bool = True, uniform_slot=None) -> Tree:
     """Mask/renormalize the policy against the leaf's valid moves and store
     it, with root temperature/Dirichlet noise when the leaf is the root
     (MCTS.pyx:236-258).
@@ -424,6 +558,11 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
     trace entirely — callers use it for every simulation after the first
     (with a fresh tree per move, only the first simulation can have the root
     as its leaf, MCTS.pyx:247-256).
+
+    ``uniform_slot`` (see apply_walk): the prior row is written to that slot
+    unconditionally as a dynamic-update-slice — a terminal leaf's prior row
+    is never read (walks stop at terminal nodes), and a non-allocating
+    game's write lands in its unreachable junk slot.
     """
     if add_root_noise is None:
         add_root_noise = spec.add_root_noise
@@ -467,6 +606,9 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
         new_prior = jnp.where(is_root, with_root_adjust(masked), masked)
     else:
         new_prior = masked
+    if uniform_slot is not None:
+        return tree.replace(prior=_set_row_uniform(
+            tree.prior, jnp.asarray(uniform_slot, jnp.int32), new_prior))
     prior_row = jnp.where(is_terminal, DUMMY, leaf)
     return tree.replace(prior=_set_row(tree.prior, prior_row, new_prior))
 
@@ -480,18 +622,14 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
     leaf = tree.leaf
     parent = tree.parent
     player = tree.player
-    A = tree.num_actions
-    DUMMY = jnp.int32(tree.dummy)
     max_depth_f = jnp.maximum(tree.max_depth.astype(jnp.float32), 1.0)
-    with_path = tree.edge_n is not None
-    PATH_MAX = tree.parent.shape[0]  # path length is bounded by node count
 
     def cond(carry):
-        _n, _q, _v, _path, node, _i = carry
+        _n, _q, _v, node, _i = carry
         return node != ROOT
 
     def body(carry):
-        n_col, q_col, v_col, path, node, i = carry
+        n_col, q_col, v_col, node, i = carry
         par = parent[node]
         val = _get_value(value, player[par], spec)
         frac = i.astype(jnp.float32) / max_depth_f
@@ -507,15 +645,12 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
             n_col.at[node].add(1),
             q_col.at[node].set(new_q),
             v_col.at[node].set(new_v),
-            path.at[i].set(node) if with_path else path,
             par,
             i + 1,
         )
 
-    path0 = (jnp.full((PATH_MAX,), DUMMY, jnp.int32) if with_path
-             else jnp.zeros((), jnp.int32))
-    n_col, q_col, v_col, path, _, _ = jax.lax.while_loop(
-        cond, body, (tree.n, tree.q, tree.v, path0, leaf, jnp.int32(0))
+    n_col, q_col, v_col, _, _ = jax.lax.while_loop(
+        cond, body, (tree.n, tree.q, tree.v, leaf, jnp.int32(0))
     )
     # Root visit increment (MCTS.pyx:289); also set root's own v on first
     # expansion so FPU at the root has a value to reduce from.
@@ -524,22 +659,7 @@ def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
     )
     n_col = n_col.at[ROOT].add(1)
     v_col = v_col.at[ROOT].set(root_v)
-
-    if not with_path:
-        return tree.replace(n=n_col, q=q_col, v=v_col)
-
-    # Refresh the per-edge mirrors for every updated node: one batched
-    # scatter over the recorded path (dummy-routed where unused).
-    on_path = path != DUMMY
-    safe = jnp.where(on_path, path, 0)
-    rows = jnp.where(on_path, parent[safe], DUMMY)
-    cols = jnp.where(on_path, tree.parent_action[safe], 0)
-    edge_n = (tree.edge_n.reshape(-1, A).at[rows, cols].set(n_col[safe])
-              .reshape(tree.edge_n.shape))
-    edge_q = (tree.edge_q.reshape(-1, A).at[rows, cols].set(q_col[safe])
-              .reshape(tree.edge_q.shape))
-    return tree.replace(n=n_col, q=q_col, v=v_col,
-                        edge_n=edge_n, edge_q=edge_q)
+    return tree.replace(n=n_col, q=q_col, v=v_col)
 
 
 def process_results(tree: Tree, value: jnp.ndarray, pi: jnp.ndarray,
@@ -575,9 +695,14 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
     N = tree.parent.shape[0]  # rows incl. dummy
     A = tree.num_actions
     V = tree.value_size
-    child = tree.children[action]  # root row is the first A entries
-    exists = child != UNVISITED
-    safe_child = jnp.where(exists, child, 0)
+    # The root's child for ``action``, derived from the parent links.
+    is_child = ((tree.parent[:-1] == ROOT)
+                & (tree.parent_action[:-1] == action)
+                & (jnp.arange(N - 1) < tree.next_free))
+    exists = jnp.any(is_child)
+    safe_child = jnp.sum(
+        jnp.where(is_child, jnp.arange(N - 1, dtype=jnp.int32), 0)
+    )
 
     # --- subtree membership via ancestor jumping ---------------------------
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -603,9 +728,9 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
 
     count = jnp.sum(member).astype(jnp.int32)
     # Rows past the compacted subtree must be pristine: the gather fills them
-    # from the dummy sink, whose children/parent rows accumulate junk writes —
-    # if later allocations reuse such a row un-cleared, the walk can follow a
-    # garbage child pointer into a self-loop.
+    # from the dummy sink, whose parent/parent_action accumulate junk writes —
+    # if later allocations reuse such a row un-cleared, the derived edges
+    # could follow a garbage link into a self-loop.
     live_row = idx < count  # [N]
 
     def live(x, fill, size=1):
@@ -625,13 +750,11 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
     ])
     parent = live(remap(tree.parent[gather_idx]), UNVISITED)
     parent = parent.at[ROOT].set(UNVISITED)
-    children = live(remap(take_rows(tree.children, A)), UNVISITED, A)
     compacted = Tree(
         node_state=node_state,
         parent=parent,
         parent_action=live(tree.parent_action[gather_idx], UNVISITED)
         .at[ROOT].set(UNVISITED),
-        children=children,
         valids=live(take_rows(tree.valids, A), False, A),
         prior=live(take_rows(tree.prior, A), 0.0, A),
         n=live(tree.n[gather_idx], 0),
@@ -639,10 +762,6 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
         v=live(tree.v[gather_idx], 0.0),
         e=live(take_rows(tree.e, V), 0.0, V),
         player=live(tree.player[gather_idx], 0),
-        edge_n=(live(take_rows(tree.edge_n, A), 0, A)
-                if tree.edge_n is not None else None),
-        edge_q=(live(take_rows(tree.edge_q, A), 0.0, A)
-                if tree.edge_q is not None else None),
         next_free=count,
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -668,14 +787,7 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
 # ---------------------------------------------------------------------------
 
 def _root_child_stats(tree: Tree):
-    A = tree.num_actions
-    if tree.edge_n is not None:  # root row (static index)
-        return (tree.edge_n.reshape(-1, A)[0], tree.edge_q.reshape(-1, A)[0])
-    child_idx = tree.children.reshape(-1, A)[0]  # root row (static index)
-    exists = child_idx != UNVISITED
-    safe = jnp.where(exists, child_idx, 0)
-    n = jnp.where(exists, tree.n[safe], 0)
-    q = jnp.where(exists, tree.q[safe], 0.0)
+    _idx, n, q = child_row(tree, ROOT)
     return n, q
 
 

@@ -159,10 +159,7 @@ def backup_batched(trees, values, spec: SearchSpec, interpret: bool = False):
     """Apply the fused backup to a vmapped Tree pytree; returns new trees.
 
     ``values`` must already be terminal-resolved (tree.resolve_value).
-    Mirror-carrying trees (large action spaces) must use the XLA backup,
-    which maintains the mirrors.
     """
-    assert trees.edge_n is None, "pallas backup does not maintain mirrors"
     n, q, v = backup_batched_pallas(
         trees.parent, trees.player, trees.leaf, values,
         trees.max_depth, trees.n, trees.q, trees.v, spec, interpret=interpret,

@@ -7,10 +7,10 @@ is ~100x cheaper than the walk). This kernel fuses the complete walk for a
 block of games into one program: tree arrays live in VMEM in game-minor
 layout ([N, A, LANES] — games ride the 128-wide lane dimension), per-lane
 dynamic node indexing is expressed as masked reductions over the node axis,
-and the while loop runs entirely on-chip. Child visit/value statistics are
-computed in-kernel from the n/q columns through the child-index row (a
-one-hot reduction over N), so no per-edge mirror arrays need to be carried,
-streamed, or maintained at backup time.
+and the while loop runs entirely on-chip. Child links and visit/value
+statistics are derived in-kernel from the parent/parent_action/n/q columns
+(the array tree stores no children buffer — see mcts/tree.py child_row), so
+the only [N, A, LANES] blocks resident in VMEM are prior and valids.
 
 Semantics are identical to `descend` (MCTS.pyx:208-217): PUCT with
 FPU-reduction from seen policy, stop at an unallocated edge or terminal
@@ -33,18 +33,25 @@ NEG_INF = -3.0e38
 UNVISITED = -1  # plain int: jnp scalars would be captured consts in the kernel
 
 
-def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
-                    eany_ref, tiebreak_ref, out_ref,
+def _descend_kernel(parent_ref, pa_ref, prior_ref, valids_ref, n_ref, q_ref,
+                    v_ref, eany_ref, tiebreak_ref, out_ref,
                     *, spec: SearchSpec, num_nodes: int, num_actions: int):
     N, A = num_nodes, num_actions
     node_iota1 = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
     node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 0)
+    act_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 1)
 
     n_all = n_ref[...]  # [N, LANES] i32
     n_all_f = n_all.astype(jnp.float32)
     q_all = q_ref[...]  # [N, LANES] f32
     eany_all = eany_ref[...]  # [N, LANES] f32 (1.0 = terminal)
     tiebreak = tiebreak_ref[...]  # [A, LANES]
+    parent_all = parent_ref[...]  # [N, LANES] i32
+    pa_all = pa_ref[...]  # [N, LANES] i32
+    # The dummy write sink (last row) accumulates junk parent/parent_action
+    # values from masked scatters; it must never be derived as a child.
+    not_dummy = node_iota2 < (N - 1)
+    not_dummy1 = node_iota1 < (N - 1)
 
     root_n = n_all[0]  # [LANES]
     root_eany = eany_all[0]
@@ -64,14 +71,17 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
         sel3 = (node_iota2 == node[None]).astype(jnp.float32)  # [N, A, LANES]
         row_prior = row(prior_ref, sel3)
         row_valid = row(valids_ref, sel3)
-        row_child = row(children_ref, sel3)  # [A, LANES] f32 child indices
 
-        # Child stats straight from the n/q columns: one-hot over the child
-        # index (UNVISITED never matches the iota → stats read as 0).
-        selc = (node_iota2 == row_child.astype(jnp.int32)[None]
-                ).astype(jnp.float32)  # [N, A, LANES]
-        child_n = jnp.sum(n_all_f[:, None, :] * selc, axis=0)  # [A, LANES]
-        child_q = jnp.sum(q_all[:, None, :] * selc, axis=0)
+        # Derived edges: node c is the child of (node, a) iff
+        # parent[c] == node and parent_action[c] == a. Allocated children
+        # always have n > 0, so child_n > 0 doubles as the existence test —
+        # only the two n/q reductions run during scoring.
+        selc = ((parent_all[:, None, :] == node[None])
+                & (pa_all[:, None, :] == act_iota2)
+                & not_dummy)  # [N, A, LANES]
+        selc_f = selc.astype(jnp.float32)
+        child_n = jnp.sum(n_all_f[:, None, :] * selc_f, axis=0)  # [A, LANES]
+        child_q = jnp.sum(q_all[:, None, :] * selc_f, axis=0)
 
         sel1 = (node_iota1 == node).astype(jnp.float32)  # [N, LANES]
         cur_n = jnp.sum(n_all_f * sel1, axis=0, keepdims=True)  # [1, LANES]
@@ -91,15 +101,20 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
         scores = jnp.where(row_valid > 0.5, scores, NEG_INF)
 
         best = jnp.argmax(scores, axis=0).astype(jnp.int32)[None]  # [1, LANES]
-        a_sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0) == best
-        ).astype(jnp.float32)
-        best_child = jnp.sum(row_child * a_sel, axis=0,
-                             keepdims=True).astype(jnp.int32)
-        best_exists = best_child != UNVISITED
-        csel = (node_iota1 == best_child).astype(jnp.float32)
+        # The chosen edge's child via one [N, LANES] pass over parent links
+        # (deriving the whole child row during scoring would double the
+        # walk's compare-reduce work).
+        selb = ((parent_all == node) & (pa_all == best)
+                & not_dummy1).astype(jnp.float32)  # [N, LANES]
+        best_exists = jnp.sum(selb, axis=0, keepdims=True) > 0.0
+        best_child = jnp.where(
+            best_exists,
+            jnp.sum(node_iota1.astype(jnp.float32) * selb, axis=0,
+                    keepdims=True).astype(jnp.int32),
+            UNVISITED,
+        )
         best_terminal = best_exists & (
-            jnp.sum(eany_all * csel, axis=0, keepdims=True) > 0.5
+            jnp.sum(eany_all * selb, axis=0, keepdims=True) > 0.5
         )
 
         step_done = jnp.logical_not(best_exists) | best_terminal
@@ -126,21 +141,23 @@ def _descend_kernel(children_ref, prior_ref, valids_ref, n_ref, q_ref, v_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def descend_batched_pallas(children, prior, valids, n, q, v, eany, tiebreak,
-                           spec: SearchSpec, interpret: bool = False):
+def descend_batched_pallas(parent, parent_action, prior, valids, n, q, v,
+                           eany, tiebreak, spec: SearchSpec,
+                           interpret: bool = False):
     """Batched walk. Inputs are the batched tree arrays (batch-major, as held
     by the vmapped Tree) — transposed here to game-minor layout.
 
     Returns (node, action, child, depth) each int32[B].
     """
-    B, N, A = children.shape
+    B, N, A = prior.shape
     assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
 
-    # All [N, A, B] inputs as f32 so in-kernel masked reductions stay on the
-    # VPU's native type (child indices round-trip exactly below 2^24).
-    ct = jnp.transpose(children, (1, 2, 0)).astype(jnp.float32)
+    # [N, A, B] blocks as f32 so in-kernel masked reductions stay on the
+    # VPU's native type; columns stay i32 (compared, not accumulated).
     pt = jnp.transpose(prior, (1, 2, 0))
     vt = jnp.transpose(valids.astype(jnp.float32), (1, 2, 0))
+    part = jnp.transpose(parent, (1, 0))
+    pat = jnp.transpose(parent_action, (1, 0))
     nt = jnp.transpose(n, (1, 0))
     qt = jnp.transpose(q, (1, 0))
     vvt = jnp.transpose(v, (1, 0))
@@ -164,7 +181,8 @@ def descend_batched_pallas(children, prior, valids, n, q, v, eany, tiebreak,
         kernel,
         grid=grid,
         in_specs=[
-            nab(),  # children
+            nb(),   # parent
+            nb(),   # parent_action
             nab(),  # prior
             nab(),  # valids
             nb(),   # n
@@ -178,7 +196,7 @@ def descend_batched_pallas(children, prior, valids, n, q, v, eany, tiebreak,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
         interpret=interpret,
-    )(ct, pt, vt, nt, qt, vvt, et, tt)
+    )(part, pat, pt, vt, nt, qt, vvt, et, tt)
     return out[0], out[1], out[2], out[3]
 
 
@@ -197,7 +215,8 @@ def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
     as_rows = lambda buf: buf.reshape(B, N, A)  # noqa: E731
     eany = jnp.any(trees.e.reshape(B, N, V) > 0, axis=-1)
     node, action, child, depth = descend_batched_pallas(
-        as_rows(trees.children), as_rows(trees.prior), as_rows(trees.valids),
+        trees.parent, trees.parent_action,
+        as_rows(trees.prior), as_rows(trees.valids),
         trees.n, trees.q, trees.v, eany, tiebreak, spec, interpret=interpret,
     )
     skip_walk = (trees.n[:, 0] == 0) | eany[:, 0]

@@ -171,22 +171,22 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
             env.ACTION_SIZE, cfg.spec.value_size, uniform_value=True
         )
         trees = S.search(env, trees, cfg.spec, warm_eval, cfg.sims_warmup,
-                         r_search)
+                         r_search, fresh_tree=not cfg.reuse_tree)
         fast = jnp.bool_(False)
     elif sims_override is not None:
         trees = S.search(env, trees, cfg.spec, eval_fn, sims_override,
-                         r_search)
+                         r_search, fresh_tree=not cfg.reuse_tree)
         fast = jnp.bool_(fast_flag)
     else:
         fast = jax.random.uniform(r_fast) < cfg.prob_fast
 
         def do_fast(trees):
             return S.search(env, trees, cfg.spec, eval_fn, cfg.sims_fast,
-                            r_search)
+                            r_search, fresh_tree=not cfg.reuse_tree)
 
         def do_full(trees):
             return S.search(env, trees, cfg.spec, eval_fn, cfg.sims_full,
-                            r_search)
+                            r_search, fresh_tree=not cfg.reuse_tree)
 
         trees = jax.lax.cond(fast, do_fast, do_full, trees)
 

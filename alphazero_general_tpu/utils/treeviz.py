@@ -20,9 +20,18 @@ def _snapshot(tree, game: Optional[int]):
 
     rows = np.asarray(tree.parent).shape[-1]
     A = tree.num_actions
+    # Rebuild the child-pointer matrix from the parent links (the array tree
+    # stores no children buffer — see mcts/tree.py child_row).
+    parent = get(tree.parent)
+    parent_action = get(tree.parent_action)
+    children = np.full((rows, A), -1, np.int64)
+    for c in range(min(rows - 1, int(get(tree.next_free)))):  # skip dummy/junk
+        p, a = int(parent[c]), int(parent_action[c])
+        if p >= 0 and a >= 0:
+            children[p, a] = c
     return {
-        "children": get(tree.children).reshape(rows, A),
-        "parent_action": get(tree.parent_action),
+        "children": children,
+        "parent_action": parent_action,
         "n": get(tree.n),
         "q": get(tree.q),
         "v": get(tree.v),

@@ -60,8 +60,10 @@ def test_pallas_matches_xla_search(env, sims):
     t_p = run("pallas_interpret")
 
     np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
-    np.testing.assert_array_equal(np.asarray(t_x.children),
-                                  np.asarray(t_p.children))
+    np.testing.assert_array_equal(np.asarray(t_x.parent),
+                                  np.asarray(t_p.parent))
+    np.testing.assert_array_equal(np.asarray(t_x.parent_action),
+                                  np.asarray(t_p.parent_action))
     np.testing.assert_allclose(np.asarray(t_x.q), np.asarray(t_p.q),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(

@@ -213,8 +213,10 @@ class TestParityWithReferenceSemantics:
             pi, v = pseudo_net(Connect4.observation(st)[None])
             py.process_results(np.asarray(v[0]), np.asarray(pi[0]))
 
-        # Compare q of each root child.
-        children = np.asarray(trees.children[0][:7])  # root row, flat layout
+        # Compare q of each root child (derived from parent links).
+        children = np.asarray(
+            jax.vmap(lambda t: T.child_row(t, T.ROOT)[0])(trees)[0]
+        )
         qs = np.asarray(trees.q[0])
         for c in py.root.children:
             if c.n > 0:

@@ -33,12 +33,18 @@ class TestReroot:
         counts = np.asarray(jax.vmap(T.counts)(trees))[0]
         action = int(counts.argmax())
         A = env.ACTION_SIZE
-        old_child = int(trees.children[0, action])  # root row, flat layout
+        root_kids = np.asarray(
+            jax.vmap(lambda t: T.child_row(t, T.ROOT)[0])(trees)[0]
+        )
+        old_child = int(root_kids[action])
         old_n = int(trees.n[0, old_child])
         old_q = float(trees.q[0, old_child])
 
         # Grandchild visit profile (the new root's counts after reroot).
-        gc = np.asarray(trees.children[0, old_child * A:(old_child + 1) * A])
+        gc = np.asarray(
+            jax.vmap(lambda t: T.child_row(t, jnp.int32(old_child))[0])(
+                trees)[0]
+        )
         gc_counts = np.zeros(env.ACTION_SIZE, np.int64)
         for a, ci in enumerate(gc):
             if ci >= 0:
