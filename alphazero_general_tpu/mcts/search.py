@@ -100,9 +100,10 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
     A = trees.num_actions
     rng_find, rng_noise = jax.random.split(rng)
 
+    leaf_e = leaf_valids = None
     if expand_root_only:
-        trees = jax.vmap(lambda t: T.expand_root(env, t))(trees)
-        obs = jax.vmap(lambda t: T.leaf_observation(env, t))(trees)
+        trees, obs, leaf_e, leaf_valids = jax.vmap(
+            lambda t: T.expand_root(env, t))(trees)
     else:
         tiebreaks = jax.vmap(
             lambda k: jax.random.uniform(k, (A,)) * 1e-6
@@ -116,20 +117,36 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
             )(trees, *walk)
             obs = jax.vmap(lambda t: T.leaf_observation(env, t))(trees)
         else:
-            trees, obs = jax.vmap(
+            trees, obs, leaf_e, leaf_valids = jax.vmap(
                 lambda t, n_, a_, c_, d_, s_: T.apply_walk_observe(
                     env, t, n_, a_, c_, d_, s_, uniform_slot)
             )(trees, *walk)
 
     pi, value = eval_fn(obs)
 
-    values = jax.vmap(T.resolve_value)(trees, value)
-    trees = jax.vmap(
-        lambda t, p, r: T.install_prior(
-            t, p, spec, r, add_root_noise, add_root_temp,
-            root_adjust=root_adjust, uniform_slot=uniform_slot,
-        )
-    )(trees, pi, jax.random.split(rng_noise, B))
+    if leaf_e is not None:
+        # Terminal resolution from the freshly stepped leaf data — no
+        # per-game dynamic row gather on the flat e buffer (MCTS.pyx:234-235
+        # semantics, see tree._apply_walk_uniform).
+        is_term = jnp.any(leaf_e > 0, axis=-1, keepdims=True)
+        values = jnp.where(is_term, leaf_e, value)
+    else:
+        values = jax.vmap(T.resolve_value)(trees, value)
+    if leaf_valids is not None:
+        trees = jax.vmap(
+            lambda t, p, r, lv: T.install_prior(
+                t, p, spec, r, add_root_noise, add_root_temp,
+                root_adjust=root_adjust, uniform_slot=uniform_slot,
+                leaf_valids=lv,
+            )
+        )(trees, pi, jax.random.split(rng_noise, B), leaf_valids)
+    else:
+        trees = jax.vmap(
+            lambda t, p, r: T.install_prior(
+                t, p, spec, r, add_root_noise, add_root_temp,
+                root_adjust=root_adjust, uniform_slot=uniform_slot,
+            )
+        )(trees, pi, jax.random.split(rng_noise, B))
 
     use_pallas_backup = _pick_backup_impl(trees, walk_impl) in (
         "pallas", "pallas_interpret")
@@ -143,6 +160,87 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
             lambda t, v: T.backup(t, v, spec)
         )(trees, values)
     return trees
+
+
+def _game_minor_impl(trees, walk_impl: str):
+    """Return the kernel mode ('pallas'/'pallas_interpret') when the
+    fresh-tree search should run in the persistent game-minor TreeT layout,
+    else None. Requires BOTH kernels eligible (they are the only consumers
+    that care about layout; the gate is the stricter walk gate)."""
+    wi = _pick_walk_impl(trees, walk_impl)
+    if wi not in ("pallas", "pallas_interpret"):
+        return None
+    if _pick_backup_impl(trees, walk_impl) != wi:
+        return None
+    return wi
+
+
+def _simulate_step_t(env, tt, spec, eval_fn, rng, add_root_noise,
+                     add_root_temp, root_adjust: bool, interpret: bool,
+                     uniform_slot, expand_root_only: bool = False):
+    """Game-minor twin of simulate_step (TreeT layout, fresh trees only).
+
+    Identical semantics AND identical per-game RNG draws as the batch-major
+    uniform-slot path — only the array layout (and therefore the write
+    shapes) differ. See mcts/tree_t.py.
+    """
+    from alphazero_general_tpu.mcts import tree_t as TT
+    from alphazero_general_tpu.ops.backup import backup_batched_t
+    from alphazero_general_tpu.ops.descend import descend_batched_t
+
+    B = tt.leaf.shape[0]
+    A = tt.num_actions
+    rng_find, rng_noise = jax.random.split(rng)
+
+    if expand_root_only:
+        tt, obs, leaf_e, leaf_valids = TT.expand_root_t(env, tt)
+    else:
+        tiebreaks = jax.vmap(
+            lambda k: jax.random.uniform(k, (A,)) * 1e-6
+        )(jax.random.split(rng_find, B))
+        node, action, child, depth, skip_walk = descend_batched_t(
+            tt, spec, jnp.transpose(tiebreaks, (1, 0)), interpret=interpret)
+        tt, obs, leaf_e, leaf_valids = TT.apply_walk_observe_t(
+            env, tt, node, action, child, depth, skip_walk, uniform_slot)
+
+    pi, value = eval_fn(obs)
+    is_term = jnp.any(leaf_e > 0, axis=-1, keepdims=True)
+    values = jnp.where(is_term, leaf_e, value)
+    tt = TT.install_prior_t(tt, pi, spec, jax.random.split(rng_noise, B),
+                            add_root_noise, add_root_temp, root_adjust,
+                            uniform_slot, leaf_valids)
+    return backup_batched_t(tt, values, spec, interpret=interpret)
+
+
+def _search_t(env, trees, spec, eval_fn, sims: int, rng, add_root_noise,
+              add_root_temp, interpret: bool):
+    """Fresh-tree search in the persistent game-minor layout. Mirrors the
+    fresh branch of :func:`search` (same RNG threading) and converts
+    Tree ↔ TreeT once per search."""
+    from alphazero_general_tpu.mcts import tree_t as TT
+
+    tt = TT.tree_to_tree_t(trees)
+    rng_first, rng_rest = jax.random.split(rng)
+    tt = _simulate_step_t(
+        env, tt, spec, eval_fn, rng_first, add_root_noise, add_root_temp,
+        root_adjust=True, interpret=interpret, uniform_slot=jnp.int32(0),
+        expand_root_only=True,
+    )
+    if sims <= 1:
+        return TT.tree_t_to_tree(tt)
+
+    def body(tt, xs):
+        r, slot = xs
+        tt = _simulate_step_t(
+            env, tt, spec, eval_fn, r, add_root_noise, add_root_temp,
+            root_adjust=False, interpret=interpret, uniform_slot=slot,
+        )
+        return tt, None
+
+    xs = (jax.random.split(rng_rest, sims - 1),
+          jnp.arange(1, sims, dtype=jnp.int32))
+    tt, _ = jax.lax.scan(body, tt, xs)
+    return TT.tree_t_to_tree(tt)
 
 
 def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
@@ -163,6 +261,12 @@ def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
     # Uniform slots need one slot per simulation (plus root and the dummy
     # sink); degrade gracefully to the general path on undersized arenas.
     fresh_tree = fresh_tree and sims <= trees.n.shape[1] - 1
+    if fresh_tree:
+        impl_t = _game_minor_impl(trees, walk_impl)
+        if impl_t is not None:
+            return _search_t(env, trees, spec, eval_fn, sims, rng,
+                             add_root_noise, add_root_temp,
+                             interpret=impl_t == "pallas_interpret")
     rng_first, rng_rest = jax.random.split(rng)
     trees = simulate_step(
         env, trees, spec, eval_fn, rng_first, add_root_noise, add_root_temp,

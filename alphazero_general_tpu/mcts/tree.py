@@ -453,7 +453,7 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
         )
 
     # ---- uniform-slot mode -------------------------------------------------
-    tree, _obs = _apply_walk_uniform(
+    tree, _obs, _e, _valids = _apply_walk_uniform(
         env, tree, node, action, child, depth, skip_walk, need_alloc,
         child_state, uniform_slot,
     )
@@ -465,6 +465,8 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
     DUMMY = jnp.int32(tree.dummy)
     slot = jnp.asarray(uniform_slot, jnp.int32)
     alloc_row = jnp.where(need_alloc, slot, DUMMY)
+    win_vec = env.win_state(child_state)
+    valid_vec = env.valid_moves(child_state)
     tree = tree.replace(
         node_state=_scatter_state_uniform(tree.node_state, child_state, slot),
         parent=tree.parent.at[alloc_row].set(node),
@@ -482,20 +484,26 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
     tree = tree.replace(
         depth=depth, max_depth=max_depth, leaf=leaf,
         player=tree.player.at[slot].set(child_state.player),
-        e=_set_row_uniform(tree.e, slot, env.win_state(child_state)),
-        valids=_set_row_uniform(tree.valids, slot,
-                                env.valid_moves(child_state)),
+        e=_set_row_uniform(tree.e, slot, win_vec),
+        valids=_set_row_uniform(tree.valids, slot, valid_vec),
     )
-    # The leaf observation comes straight from the stepped state (no second
-    # node_state gather): when the leaf is not the slot it is terminal, its
-    # value is resolved from the stored e, and the observation is dead.
-    return tree, env.observation(child_state)
+    # Leaf observation / terminal vector / valids come straight from the
+    # stepped state — no second node_state gather and, crucially, no
+    # per-game dynamic row gathers on the flat e/valids buffers (those
+    # lowered to scalar-path gather fusions costing ~0.4 ms/sim at
+    # B=2048). The one case where the stepped state is NOT the leaf:
+    #   * terminal revisit (leaf == child): child_state IS the re-stepped
+    #     terminal child, so win_state/valids still describe the leaf;
+    #   * skip_walk (terminal root): the leaf is the root — its stored
+    #     terminal vector is a STATIC row slice (index 0), which is free.
+    e_leaf = jnp.where(skip_walk, _row(tree.e, ROOT, tree.value_size), win_vec)
+    return tree, env.observation(child_state), e_leaf, valid_vec
 
 
 def apply_walk_observe(env, tree: Tree, node, action, child, depth, skip_walk,
                        uniform_slot):
-    """Uniform-slot apply_walk that also returns the leaf observation
-    (see _apply_walk_uniform)."""
+    """Uniform-slot apply_walk that also returns the leaf's observation,
+    terminal vector, and valid-move mask (see _apply_walk_uniform)."""
     need_alloc = (child == UNVISITED) & ~skip_walk
     parent_state = gather_state(env, tree, node)
     child_state = env.step(parent_state, action)
@@ -504,19 +512,24 @@ def apply_walk_observe(env, tree: Tree, node, action, child, depth, skip_walk,
                                uniform_slot)
 
 
-def expand_root(env, tree: Tree) -> Tree:
+def expand_root(env, tree: Tree):
     """First simulation on a FRESH tree: every game's leaf is the root and no
     allocation can occur, so expansion writes go to the static root row (no
-    scatter at all). Replaces apply_walk for that one simulation."""
+    scatter at all). Replaces apply_walk for that one simulation.
+
+    Returns (tree, observation, e_leaf, leaf_valids) like
+    :func:`apply_walk_observe`."""
     root_state = gather_state(env, tree, ROOT)
-    return tree.replace(
+    win_vec = env.win_state(root_state)
+    valid_vec = env.valid_moves(root_state)
+    tree = tree.replace(
         depth=jnp.int32(0),
         leaf=jnp.int32(ROOT),
         player=tree.player.at[0].set(root_state.player),
-        e=_set_row_uniform(tree.e, jnp.int32(0), env.win_state(root_state)),
-        valids=_set_row_uniform(tree.valids, jnp.int32(0),
-                                env.valid_moves(root_state)),
+        e=_set_row_uniform(tree.e, jnp.int32(0), win_vec),
+        valids=_set_row_uniform(tree.valids, jnp.int32(0), valid_vec),
     )
+    return tree, env.observation(root_state), win_vec, valid_vec
 
 
 def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
@@ -549,7 +562,8 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
                   rng: jnp.ndarray,
                   add_root_noise: bool | jnp.ndarray = None,
                   add_root_temp: bool | jnp.ndarray = None,
-                  root_adjust: bool = True, uniform_slot=None) -> Tree:
+                  root_adjust: bool = True, uniform_slot=None,
+                  leaf_valids: jnp.ndarray | None = None) -> Tree:
     """Mask/renormalize the policy against the leaf's valid moves and store
     it, with root temperature/Dirichlet noise when the leaf is the root
     (MCTS.pyx:236-258).
@@ -563,6 +577,10 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
     unconditionally as a dynamic-update-slice — a terminal leaf's prior row
     is never read (walks stop at terminal nodes), and a non-allocating
     game's write lands in its unreachable junk slot.
+
+    ``leaf_valids``: the leaf's valid-move mask if the caller already has it
+    (apply_walk_observe/expand_root return it) — avoids a per-game dynamic
+    row gather on the flat valids buffer (~0.15 ms/sim at B=2048).
     """
     if add_root_noise is None:
         add_root_noise = spec.add_root_noise
@@ -571,9 +589,9 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
     leaf = tree.leaf
     A = tree.num_actions
     DUMMY = jnp.int32(tree.dummy)
-    is_terminal = jnp.any(_row(tree.e, leaf, tree.value_size) > 0)
 
-    valids = _row(tree.valids, leaf, A)
+    valids = (leaf_valids if leaf_valids is not None
+              else _row(tree.valids, leaf, A))
     masked = jnp.where(valids, pi, 0.0)
     norm = jnp.sum(masked)
     masked = jnp.where(norm > 0, masked / norm,
@@ -609,6 +627,7 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
     if uniform_slot is not None:
         return tree.replace(prior=_set_row_uniform(
             tree.prior, jnp.asarray(uniform_slot, jnp.int32), new_prior))
+    is_terminal = jnp.any(_row(tree.e, leaf, tree.value_size) > 0)
     prior_row = jnp.where(is_terminal, DUMMY, leaf)
     return tree.replace(prior=_set_row(tree.prior, prior_row, new_prior))
 

@@ -1,0 +1,319 @@
+"""Game-minor (transposed) tree layout for the fresh-tree search scan.
+
+The batch-major :class:`~alphazero_general_tpu.mcts.tree.Tree` layout
+(``[B, ...]``, natural under ``vmap``) forces a layout inversion per
+simulation wherever a Pallas kernel wants game-minor blocks ([N, A, B] /
+[N, B] — games riding the 128-wide lane axis): the walk and backup kernels
+each transposed their inputs (and backup its outputs) every simulation,
+~25 MB of major-to-minor relayout traffic per sim at connect4 production
+scale (B=2048).
+
+``TreeT`` keeps every tree array **persistently game-minor across the whole
+search**: the kernels consume the buffers directly, and — because the
+fresh-tree uniform-slot discipline (see tree.apply_walk) makes every write
+land at one batch-uniform row — all big-row writes become leading-axis
+``dynamic_update_slice`` slabs of a few KB instead of per-game scatters or
+whole-buffer selects. Only ``node_state`` stays batch-major: the env's
+``step``/``observation`` are vmapped per game, and the per-game leaf gather
+is index-dependent either way.
+
+Semantics are byte-identical to the batch-major fresh-tree path: the same
+per-game RNG draws (tiebreaks, Dirichlet keys), the same f32 math, the same
+Pallas kernels. Conversion to/from ``Tree`` happens once per search
+(amortized over ``sims`` simulations).
+
+Reference mapping: this is still MCTS.pyx:208-289 (find_leaf /
+process_results) — only the array layout differs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alphazero_general_tpu.mcts import tree as T
+from alphazero_general_tpu.mcts.tree import (
+    ROOT, UNVISITED, SearchSpec, Tree, _renorm, _size_of,
+    NOISE_ALPHA_RATIO,
+)
+
+
+@struct.dataclass
+class TreeT:
+    """Batched search tree in game-minor layout (batch axis LAST).
+
+    Same fields/invariants as :class:`Tree` (see its docstring) plus a
+    carried ``eany`` terminal-flag column (batch-major search recomputes it
+    from ``e`` per sim; here it is maintained incrementally). ``node_state``
+    is game-minor as well ([rows*S, B] per leaf): the per-sim leaf-parent
+    state read is a one-hot contraction over the node axis (see
+    :func:`_gather_states`) — the XLA per-game row gather it replaces
+    lowered to a scalar path costing ~0.19 ms/sim at B=2048.
+    """
+
+    node_state: object  # game-minor [rows*S, B] leaves
+    parent: jnp.ndarray  # int32[N, B]
+    parent_action: jnp.ndarray  # int32[N, B]
+    valids: jnp.ndarray  # float32[N*A, B] (0/1 — the walk kernel's dtype)
+    prior: jnp.ndarray  # float32[N*A, B]
+    n: jnp.ndarray  # int32[N, B]
+    q: jnp.ndarray  # float32[N, B]
+    v: jnp.ndarray  # float32[N, B]
+    e: jnp.ndarray  # float32[N*V, B]
+    eany: jnp.ndarray  # float32[N, B] — 1.0 where the node is terminal
+    player: jnp.ndarray  # int32[N, B]
+    next_free: jnp.ndarray  # int32[B]
+    depth: jnp.ndarray  # int32[B]
+    max_depth: jnp.ndarray  # int32[B]
+    leaf: jnp.ndarray  # int32[B]
+    num_actions: int = struct.field(pytree_node=False, default=0)
+    value_size: int = struct.field(pytree_node=False, default=3)
+
+
+def tree_to_tree_t(trees: Tree) -> TreeT:
+    """Vmapped batch-major Tree [B, ...] → game-minor TreeT.
+
+    Requires the flat row-array layout (A and value_size below the lane
+    tile), which always holds where this path is enabled (the Pallas walk
+    gate caps N*A at a fraction of it).
+    """
+    assert trees.prior.ndim == 2, "TreeT requires flat row arrays"
+    assert all(b.ndim == 2 for b in jax.tree_util.tree_leaves(
+        trees.node_state)), "TreeT requires flat node_state rows"
+    B = trees.n.shape[0]
+    N = trees.n.shape[1]
+    V = trees.value_size
+    t = lambda x: jnp.transpose(x, (1, 0))  # noqa: E731
+    eany = jnp.any(trees.e.reshape(B, N, V) > 0, axis=-1)
+    return TreeT(
+        node_state=jax.tree_util.tree_map(t, trees.node_state),
+        parent=t(trees.parent),
+        parent_action=t(trees.parent_action),
+        valids=t(trees.valids.astype(jnp.float32)),
+        prior=t(trees.prior),
+        n=t(trees.n),
+        q=t(trees.q),
+        v=t(trees.v),
+        e=t(trees.e),
+        eany=t(eany.astype(jnp.float32)),
+        player=t(trees.player),
+        next_free=trees.next_free,
+        depth=trees.depth,
+        max_depth=trees.max_depth,
+        leaf=trees.leaf,
+        num_actions=trees.num_actions,
+        value_size=trees.value_size,
+    )
+
+
+def tree_t_to_tree(tt: TreeT) -> Tree:
+    """Inverse of :func:`tree_to_tree_t` (drops the derived ``eany``)."""
+    t = lambda x: jnp.transpose(x, (1, 0))  # noqa: E731
+    return Tree(
+        node_state=jax.tree_util.tree_map(t, tt.node_state),
+        parent=t(tt.parent),
+        parent_action=t(tt.parent_action),
+        valids=t(tt.valids) > 0.5,
+        prior=t(tt.prior),
+        n=t(tt.n),
+        q=t(tt.q),
+        v=t(tt.v),
+        e=t(tt.e),
+        player=t(tt.player),
+        next_free=tt.next_free,
+        depth=tt.depth,
+        max_depth=tt.max_depth,
+        leaf=tt.leaf,
+        num_actions=tt.num_actions,
+        value_size=tt.value_size,
+    )
+
+
+def _dus_rows(buf: jnp.ndarray, start_row, block: jnp.ndarray) -> jnp.ndarray:
+    """Write a [K, B] slab at a (traced) leading-axis row offset."""
+    return jax.lax.dynamic_update_slice(
+        buf, block.astype(buf.dtype), (start_row, jnp.int32(0)))
+
+
+def _gather_states(env, node_state, idx: jnp.ndarray):
+    """Read node row ``idx[b]`` of every game b from the GAME-MINOR
+    node_state as a one-hot contraction over the node axis.
+
+    Fancy per-game row gathers lower to a scalar path on TPU (~0.19 ms/sim
+    at connect4 production scale); the masked reduce is one fused VPU pass
+    over each buffer. Returns a game-minor state pytree ([..., B] leaves) —
+    feed it to env functions via ``vmap(in_axes=-1)``.
+    """
+    template = env.init()
+    B = idx.shape[0]
+
+    def pick(buf, t):
+        S = _size_of(t)
+        N = buf.shape[0] // S
+        b3 = buf.reshape(N, S, B)
+        sel = (jax.lax.iota(jnp.int32, N)[:, None] == idx[None, :])  # [N, B]
+        sel = sel[:, None, :]
+        if buf.dtype == jnp.bool_:
+            row = jnp.any(b3 & sel, axis=0)
+        else:
+            row = jnp.sum(jnp.where(sel, b3, 0), axis=0,
+                          dtype=buf.dtype)
+        return row.reshape(tuple(jnp.shape(t)) + (B,))
+
+    return jax.tree_util.tree_map(pick, node_state, template)
+
+
+def _scatter_states_uniform(node_state, states, slot):
+    """Write every game's state at the SAME row ``slot`` — a leading-axis
+    slab DUS on the game-minor buffers. ``states`` is game-minor
+    ([..., B] leaves)."""
+    def write(buf, x):
+        B = buf.shape[-1]
+        x2 = x.reshape(-1, B).astype(buf.dtype)  # [S, B]
+        return jax.lax.dynamic_update_slice(
+            buf, x2, (slot * x2.shape[0], jnp.int32(0)))
+
+    return jax.tree_util.tree_map(write, node_state, states)
+
+
+def _leaf_data(env, states):
+    """(win [B,V] f32, valid [B,A] bool, obs [B,...], player [B]) of
+    game-minor stepped states ([..., B] leaves)."""
+    win = jax.vmap(env.win_state, in_axes=-1)(states).astype(jnp.float32)
+    valid = jax.vmap(env.valid_moves, in_axes=-1)(states)
+    obs = jax.vmap(env.observation, in_axes=-1)(states)
+    return win, valid, obs, states.player
+
+
+def _write_expansion(tt: TreeT, slot, win, valid, player) -> TreeT:
+    """Expansion writes at the batch-uniform ``slot``: player/terminal/valids
+    (MCTS.pyx:223-226), each a tiny leading-axis slab."""
+    V = tt.value_size
+    A = tt.num_actions
+    return tt.replace(
+        player=_dus_rows(tt.player, slot, player[None, :]),
+        e=_dus_rows(tt.e, slot * V, jnp.transpose(win, (1, 0))),
+        eany=_dus_rows(tt.eany, slot,
+                       jnp.any(win > 0, axis=-1)[None, :]),
+        valids=_dus_rows(tt.valids, slot * A,
+                         jnp.transpose(valid, (1, 0))),
+    )
+
+
+def _root_states(env, node_state):
+    """Row 0 of every game's node_state — a STATIC slice, no gather.
+    Returns a game-minor state pytree."""
+    template = env.init()
+
+    def row0(buf, t):
+        B = buf.shape[-1]
+        return buf[:_size_of(t)].reshape(tuple(jnp.shape(t)) + (B,))
+
+    return jax.tree_util.tree_map(row0, node_state, template)
+
+
+def expand_root_t(env, tt: TreeT):
+    """First simulation on a FRESH tree (see tree.expand_root).
+
+    Returns (tt, obs, e_leaf, leaf_valids).
+    """
+    B = tt.leaf.shape[0]
+    win, valid, obs, player = _leaf_data(env, _root_states(env, tt.node_state))
+    tt = _write_expansion(tt, jnp.int32(0), win, valid, player)
+    tt = tt.replace(depth=jnp.zeros((B,), jnp.int32),
+                    leaf=jnp.zeros((B,), jnp.int32))
+    return tt, obs, win, valid
+
+
+def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
+                         skip_walk, slot):
+    """Uniform-slot apply_walk in game-minor layout (see
+    tree._apply_walk_uniform for the write-strategy rationale).
+
+    Returns (tt, obs, e_leaf, leaf_valids).
+    """
+    V = tt.value_size
+    slot = jnp.asarray(slot, jnp.int32)
+    need_alloc = (child == UNVISITED) & ~skip_walk  # [B]
+
+    parent_states = _gather_states(env, tt.node_state, node)
+    child_states = jax.vmap(env.step, in_axes=-1, out_axes=-1)(
+        parent_states, action)
+    win, valid, obs, player = _leaf_data(env, child_states)
+
+    # Edge insertion: blend the slot's parent/parent_action row (games that
+    # did not allocate keep UNVISITED there → the junk slot stays
+    # unreachable by derived edges).
+    B = node.shape[0]
+    old_p = jax.lax.dynamic_slice(tt.parent, (slot, 0), (1, B))
+    old_a = jax.lax.dynamic_slice(tt.parent_action, (slot, 0), (1, B))
+    tt = tt.replace(
+        node_state=_scatter_states_uniform(tt.node_state, child_states, slot),
+        parent=_dus_rows(tt.parent, slot,
+                         jnp.where(need_alloc[None, :], node[None, :], old_p)),
+        parent_action=_dus_rows(
+            tt.parent_action, slot,
+            jnp.where(need_alloc[None, :], action[None, :], old_a)),
+        next_free=jnp.broadcast_to(slot + 1, (B,)),
+    )
+    leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
+    tt = _write_expansion(tt, slot, win, valid, player)
+    tt = tt.replace(depth=depth, max_depth=jnp.maximum(tt.max_depth, depth),
+                    leaf=leaf)
+    # Leaf terminal vector straight from the stepped state; the terminal
+    # root (skip_walk) reads the STATIC root rows (see tree apply docs).
+    root_e = jnp.transpose(tt.e[:V], (1, 0))  # [B, V]
+    e_leaf = jnp.where(skip_walk[:, None], root_e, win)
+    return tt, obs, e_leaf, valid
+
+
+def install_prior_t(tt: TreeT, pi: jnp.ndarray, spec: SearchSpec,
+                    rng_keys: jnp.ndarray, add_root_noise, add_root_temp,
+                    root_adjust: bool, slot, leaf_valids: jnp.ndarray) -> TreeT:
+    """Batched install_prior (tree.install_prior semantics, MCTS.pyx:236-258)
+    writing the prior slab at the batch-uniform ``slot``.
+
+    ``rng_keys`` are the SAME per-game keys the batch-major path feeds its
+    vmapped install_prior — the Dirichlet draws match bit-for-bit.
+    """
+    if add_root_noise is None:
+        add_root_noise = spec.add_root_noise
+    if add_root_temp is None:
+        add_root_temp = spec.add_root_temp
+    A = tt.num_actions
+    valids = leaf_valids  # [B, A] bool
+    masked = jnp.where(valids, pi, 0.0)
+    norm = jnp.sum(masked, axis=-1, keepdims=True)
+    nvalid = jnp.maximum(jnp.sum(valids, axis=-1, keepdims=True), 1)
+    masked = jnp.where(norm > 0, masked / norm,
+                       valids.astype(jnp.float32) / nvalid)
+
+    if root_adjust:
+        is_root = (tt.leaf == ROOT)[:, None]
+
+        def adjust(p, valid, key):
+            temped = jnp.where(
+                jnp.asarray(add_root_temp),
+                _renorm(jnp.where(valid,
+                                  p ** (1.0 / spec.root_policy_temp), 0.0)),
+                p,
+            )
+            num_valid = jnp.maximum(jnp.sum(valid), 1)
+            alpha = NOISE_ALPHA_RATIO / num_valid.astype(jnp.float32)
+            gam = jax.random.gamma(key, alpha, (A,))
+            gam = jnp.where(valid, gam, 0.0)
+            noise = gam / jnp.maximum(jnp.sum(gam), 1e-30)
+            noised = (temped * (1 - spec.root_noise_frac)
+                      + spec.root_noise_frac * noise)
+            noised = jnp.where(valid, noised, 0.0)
+            return jnp.where(jnp.asarray(add_root_noise), noised, temped)
+
+        adjusted = jax.vmap(adjust)(masked, valids, rng_keys)
+        new_prior = jnp.where(is_root, adjusted, masked)
+    else:
+        new_prior = masked
+
+    return tt.replace(prior=_dus_rows(
+        tt.prior, jnp.asarray(slot, jnp.int32) * A,
+        jnp.transpose(new_prior, (1, 0))))

@@ -155,6 +155,64 @@ def backup_batched_pallas(parent, player, leaf, value, max_depth, n, q,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def backup_batched_pallas_t(parent, player, leaf, value, max_depth, n, q,
+                            v, spec: SearchSpec, interpret: bool = False):
+    """Game-minor twin of :func:`backup_batched_pallas`: parent/player/n/q/v
+    are ALREADY [N, B] columns (persistent TreeT layout) — no column
+    transposes in or out; only the per-game [B]-vectors (leaf/value/maxd)
+    are reshaped. Returns updated (n, q, v) columns."""
+    N, B = parent.shape
+    assert B % LANES == 0
+
+    vt = jnp.transpose(value, (1, 0))
+    leaf2 = leaf[None, :]
+    maxd = jnp.maximum(max_depth.astype(jnp.float32), 1.0)[None, :]
+
+    grid = (B // LANES,)
+    kernel = functools.partial(_backup_kernel, spec=spec, num_nodes=N)
+
+    def nl():
+        return pl.BlockSpec((N, LANES), lambda g: (0, g),
+                            memory_space=pltpu.VMEM)
+
+    def rl(rows=1):
+        return pl.BlockSpec((rows, LANES), lambda g: (0, g),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            nl(),  # parent
+            nl(),  # player
+            rl(),  # leaf
+            rl(value.shape[1]),  # value
+            rl(),  # maxd
+            nl(),  # n
+            nl(),  # q
+            nl(),  # v
+        ],
+        out_specs=(nl(), nl(), nl()),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, B), jnp.int32),
+            jax.ShapeDtypeStruct((N, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, B), jnp.float32),
+        ),
+        interpret=interpret,
+    )(parent, player, leaf2, vt, maxd, n, q, v)
+
+
+def backup_batched_t(tt, values, spec: SearchSpec, interpret: bool = False):
+    """Fused backup on a game-minor TreeT; ``values`` is [B, V] (already
+    terminal-resolved)."""
+    n, q, v = backup_batched_pallas_t(
+        tt.parent, tt.player, tt.leaf, values, tt.max_depth,
+        tt.n, tt.q, tt.v, spec, interpret=interpret,
+    )
+    return tt.replace(n=n, q=q, v=v)
+
+
 def backup_batched(trees, values, spec: SearchSpec, interpret: bool = False):
     """Apply the fused backup to a vmapped Tree pytree; returns new trees.
 

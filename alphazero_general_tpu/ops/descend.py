@@ -200,6 +200,69 @@ def descend_batched_pallas(parent, parent_action, prior, valids, n, q, v,
     return out[0], out[1], out[2], out[3]
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def descend_batched_pallas_t(parent, parent_action, prior, valids, n, q, v,
+                             eany, tiebreak, spec: SearchSpec,
+                             interpret: bool = False):
+    """Game-minor twin of :func:`descend_batched_pallas`: inputs are ALREADY
+    [N, B] columns / [N, A, B] blocks (the persistent TreeT layout), so no
+    per-sim transposes happen at all. ``tiebreak`` is [A, B]."""
+    N, A, B = prior.shape
+    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
+
+    grid = (B // LANES,)
+    kernel = functools.partial(
+        _descend_kernel, spec=spec, num_nodes=N, num_actions=A
+    )
+
+    def nab():
+        return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
+                            memory_space=pltpu.VMEM)
+
+    def nb():
+        return pl.BlockSpec((N, LANES), lambda g: (0, g),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            nb(),   # parent
+            nb(),   # parent_action
+            nab(),  # prior
+            nab(),  # valids
+            nb(),   # n
+            nb(),   # q
+            nb(),   # v
+            nb(),   # eany
+            pl.BlockSpec((A, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),  # tiebreak
+        ],
+        out_specs=pl.BlockSpec((4, LANES), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
+        interpret=interpret,
+    )(parent, parent_action, prior, valids, n, q, v, eany, tiebreak)
+    return out[0], out[1], out[2], out[3]
+
+
+def descend_batched_t(tt, spec: SearchSpec, tiebreak_t,
+                      interpret: bool = False):
+    """Walk on a game-minor TreeT; ``tiebreak_t`` is [A, B].
+
+    Returns (node, action, child, depth, skip_walk) as int32[B]/bool[B]."""
+    N = tt.n.shape[0]
+    A = tt.num_actions
+    node, action, child, depth = descend_batched_pallas_t(
+        tt.parent, tt.parent_action,
+        tt.prior.reshape(N, A, -1), tt.valids.reshape(N, A, -1),
+        tt.n, tt.q, tt.v, tt.eany, tiebreak_t, spec, interpret=interpret,
+    )
+    skip_walk = (tt.n[0] == 0) | (tt.eany[0] > 0.5)
+    depth = jnp.where(skip_walk, 0, depth)
+    return node, action, child, depth, skip_walk
+
+
 def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
     """Walk every game's tree; trees is a vmapped Tree pytree [B, ...].
 

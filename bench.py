@@ -23,11 +23,13 @@ import time
 
 BASELINE_SIMS_PER_S = 20_000.0
 
-# Coach default search budget (reference Coach.py:58-61) at the reference's
-# connect4 production model scale (train.py:45-46) and game batch (2048).
+# The reference's connect4 production config, exactly
+# (envs/connect4/train.py:17-51): 2048-game batches, 200 full / 40 fast sims
+# at probFastSim 0.75, ResNet 128ch x 8 blocks with 32-channel heads and
+# [1024, 256] / [1024] dense head stacks.
 GAMES = int(os.environ.get("BENCH_GAMES", 2048))
-SIMS_FULL = int(os.environ.get("BENCH_SIMS", 100))
-SIMS_FAST = int(os.environ.get("BENCH_SIMS_FAST", 20))
+SIMS_FULL = int(os.environ.get("BENCH_SIMS", 200))
+SIMS_FAST = int(os.environ.get("BENCH_SIMS_FAST", 40))
 PROB_FAST = 0.75
 MEASURE_MOVES = int(os.environ.get("BENCH_MOVES", 12))
 
@@ -48,7 +50,10 @@ def main() -> None:
     from alphazero_general_tpu.utils.config import get_args
 
     env = get_env("connect4")
-    args = get_args(num_channels=128, depth=8)
+    args = get_args(num_channels=128, depth=8,
+                    value_head_channels=32, policy_head_channels=32,
+                    value_dense_layers=[1024, 256],
+                    policy_dense_layers=[1024])
     net = NNetWrapper(env, args)
 
     cfg = SelfPlayConfig(

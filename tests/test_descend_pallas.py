@@ -60,10 +60,13 @@ def test_pallas_matches_xla_search(env, sims):
     t_p = run("pallas_interpret")
 
     np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
-    np.testing.assert_array_equal(np.asarray(t_x.parent),
-                                  np.asarray(t_p.parent))
-    np.testing.assert_array_equal(np.asarray(t_x.parent_action),
-                                  np.asarray(t_p.parent_action))
+    # The last row is the dummy write sink — junk by design (masked writes
+    # route there in the batch-major path; the game-minor path never touches
+    # it), so the comparison excludes it.
+    np.testing.assert_array_equal(np.asarray(t_x.parent)[:, :-1],
+                                  np.asarray(t_p.parent)[:, :-1])
+    np.testing.assert_array_equal(np.asarray(t_x.parent_action)[:, :-1],
+                                  np.asarray(t_p.parent_action)[:, :-1])
     np.testing.assert_allclose(np.asarray(t_x.q), np.asarray(t_p.q),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(
