@@ -487,16 +487,24 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
         e=_set_row_uniform(tree.e, slot, win_vec),
         valids=_set_row_uniform(tree.valids, slot, valid_vec),
     )
-    # Leaf observation / terminal vector / valids come straight from the
-    # stepped state — no second node_state gather and, crucially, no
-    # per-game dynamic row gathers on the flat e/valids buffers (those
-    # lowered to scalar-path gather fusions costing ~0.4 ms/sim at
-    # B=2048). The one case where the stepped state is NOT the leaf:
-    #   * terminal revisit (leaf == child): child_state IS the re-stepped
-    #     terminal child, so win_state/valids still describe the leaf;
-    #   * skip_walk (terminal root): the leaf is the root — its stored
-    #     terminal vector is a STATIC row slice (index 0), which is free.
-    e_leaf = jnp.where(skip_walk, _row(tree.e, ROOT, tree.value_size), win_vec)
+    # Leaf observation / valids come straight from the stepped state — no
+    # second node_state gather (the observation is dead when the leaf is
+    # terminal, and a terminal leaf's prior row is never read).
+    #
+    # The leaf's TERMINAL VECTOR must come from the STORED e row, not from
+    # the stepped state: when the walk stops at an already-terminal child,
+    # ``child_state = step(state[child], action)`` re-steps a finished
+    # game, which can change the winner (e.g. the losing side completing a
+    # line on a won connect4 board). Read it as a one-hot contraction at
+    # ``leaf`` over the just-updated e (covers all three leaf cases: new
+    # slot — row just written with win_vec; terminal revisit — stored row;
+    # terminal root under skip_walk — row 0). Fancy-indexed row gathers are
+    # banned here (scalar-path lowering, ~0.4 ms/sim at B=2048); the masked
+    # reduce is one fused pass.
+    V = tree.value_size
+    rows = tree.parent.shape[0]
+    sel = (jax.lax.iota(jnp.int32, rows) == leaf)[:, None]
+    e_leaf = jnp.sum(jnp.where(sel, tree.e.reshape(rows, V), 0.0), axis=0)
     return tree, env.observation(child_state), e_leaf, valid_vec
 
 

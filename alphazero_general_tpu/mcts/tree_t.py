@@ -261,11 +261,15 @@ def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
     tt = _write_expansion(tt, slot, win, valid, player)
     tt = tt.replace(depth=depth, max_depth=jnp.maximum(tt.max_depth, depth),
                     leaf=leaf)
-    # Leaf terminal vector straight from the stepped state; the terminal
-    # root (skip_walk) reads the STATIC root rows (see tree apply docs).
-    root_e = jnp.transpose(tt.e[:V], (1, 0))  # [B, V]
-    e_leaf = jnp.where(skip_walk[:, None], root_e, win)
-    return tt, obs, e_leaf, valid
+    # The leaf's terminal vector comes from the STORED e row (one-hot
+    # contraction at ``leaf`` over the just-updated buffer) — NOT from the
+    # stepped state: re-stepping an already-terminal child can change the
+    # winner (see tree._apply_walk_uniform).
+    rows = tt.parent.shape[0]
+    sel = (jax.lax.iota(jnp.int32, rows)[:, None] == leaf[None, :])  # [N, B]
+    e_leaf = jnp.sum(jnp.where(sel[:, None, :], tt.e.reshape(rows, V, -1),
+                               0.0), axis=0)  # [V, B]
+    return tt, obs, jnp.transpose(e_leaf, (1, 0)), valid
 
 
 def install_prior_t(tt: TreeT, pi: jnp.ndarray, spec: SearchSpec,

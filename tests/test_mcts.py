@@ -317,6 +317,43 @@ class TestSearchBehavior:
                 counts_batch[i], np.asarray(jax.vmap(T.counts)(single))[0]
             )
 
+    def test_fresh_path_matches_general_on_terminal_revisits(self):
+        """The fresh-tree uniform-slot path must back up the STORED terminal
+        vector on terminal-child revisits, exactly like the general path's
+        resolve_value (MCTS.pyx:234-235). Regression: it used to re-step the
+        terminal state, which can flip the winner (the losing side completing
+        a line on an already-won board)."""
+        # Near-terminal positions: many sims end at terminal children.
+        moves = [[2, 0, 3, 0, 4, 1], [0, 1, 0, 1, 0, 1], [3, 3, 2, 2, 4, 4]]
+        states = batch_states(moves)
+        spec = SPEC._replace(min_discount=1.0)
+        rng = jax.random.PRNGKey(11)
+
+        def run(fresh):
+            trees = S.init_batched_trees(Connect4, states, 122, 3)
+            eval_fn = S.uniform_eval_fn(Connect4.ACTION_SIZE, 3)
+            return S.search(Connect4, trees, spec, eval_fn, 120, rng,
+                            fresh_tree=fresh)
+
+        t_f = run(True)
+        t_g = run(False)
+        # Same RNG threading → identical SEARCH SEMANTICS. Node slot
+        # numbering differs (the general path skips allocation on terminal
+        # revisits, the uniform path burns slot k per sim), so compare the
+        # order-independent surface: per-action root visit counts and values.
+        np.testing.assert_array_equal(
+            np.asarray(jax.vmap(T.counts)(t_f)),
+            np.asarray(jax.vmap(T.counts)(t_g)),
+        )
+        nf, qf = jax.vmap(T._root_child_stats)(t_f)
+        ng, qg = jax.vmap(T._root_child_stats)(t_g)
+        np.testing.assert_array_equal(np.asarray(nf), np.asarray(ng))
+        np.testing.assert_allclose(np.asarray(qf), np.asarray(qg),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(jax.vmap(T.root_value)(t_f)),
+            np.asarray(jax.vmap(T.root_value)(t_g)), rtol=1e-6)
+
     def test_terminal_root_value_backup(self):
         """A search whose second move hits terminal states must not corrupt
         counts; terminal leaves re-back-up their fixed result
