@@ -112,14 +112,14 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
                              _pick_walk_impl(trees, walk_impl))
         if uniform_slot is None:
             trees = jax.vmap(
-                lambda t, n_, a_, c_, d_, s_: T.apply_walk(
-                    env, t, n_, a_, c_, d_, s_)
+                lambda t, n_, a_, c_, d_, s_, p_: T.apply_walk(
+                    env, t, n_, a_, c_, d_, s_, p_)
             )(trees, *walk)
             obs = jax.vmap(lambda t: T.leaf_observation(env, t))(trees)
         else:
             trees, obs, leaf_e, leaf_valids = jax.vmap(
-                lambda t, n_, a_, c_, d_, s_: T.apply_walk_observe(
-                    env, t, n_, a_, c_, d_, s_, uniform_slot)
+                lambda t, n_, a_, c_, d_, s_, p_: T.apply_walk_observe(
+                    env, t, n_, a_, c_, d_, s_, p_, uniform_slot)
             )(trees, *walk)
 
     pi, value = eval_fn(obs)
@@ -198,10 +198,11 @@ def _simulate_step_t(env, tt, spec, eval_fn, rng, add_root_noise,
         tiebreaks = jax.vmap(
             lambda k: jax.random.uniform(k, (A,)) * 1e-6
         )(jax.random.split(rng_find, B))
-        node, action, child, depth, skip_walk = descend_batched_t(
+        node, action, child, depth, skip_walk, p_sel = descend_batched_t(
             tt, spec, jnp.transpose(tiebreaks, (1, 0)), interpret=interpret)
         tt, obs, leaf_e, leaf_valids = TT.apply_walk_observe_t(
-            env, tt, node, action, child, depth, skip_walk, uniform_slot)
+            env, tt, node, action, child, depth, skip_walk, p_sel,
+            uniform_slot)
 
     pi, value = eval_fn(obs)
     is_term = jnp.any(leaf_e > 0, axis=-1, keepdims=True)

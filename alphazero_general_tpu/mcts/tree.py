@@ -56,6 +56,12 @@ NOISE_ALPHA_RATIO = 10.83  # MCTS.pyx:20
 DRAW_VALUE = 0.5  # MCTS.pyx:21
 UNVISITED = jnp.int32(-1)
 ROOT = jnp.int32(0)
+#: The ``prior`` buffer packs the valid-move mask into the sign: invalid
+#: actions store exactly -1.0 (valid priors are >= 0 after renormalization).
+#: The walk then needs ONE row read instead of two (prior + valids) per
+#: step; the separate bool ``valids`` buffer is still maintained for the
+#: non-walk consumers (root_value, general-path install, viz).
+INVALID_PRIOR = -1.0
 
 
 class SearchSpec(NamedTuple):
@@ -101,12 +107,17 @@ class Tree:
     parent: jnp.ndarray  # int32[N]
     parent_action: jnp.ndarray  # int32[N]
     valids: jnp.ndarray  # bool[N*A]
-    prior: jnp.ndarray  # float32[N*A]
+    prior: jnp.ndarray  # float32[N*A] — packed: INVALID_PRIOR where invalid
     n: jnp.ndarray  # int32[N] visit counts
     q: jnp.ndarray  # float32[N] mean backed-up value (parent's perspective)
     v: jnp.ndarray  # float32[N] first-visit net value (own perspective)
     e: jnp.ndarray  # float32[N*value_size] terminal win vectors
     player: jnp.ndarray  # int32[N] player to move at the node
+    # prior[parent, parent_action] captured at allocation time — the edge's
+    # own prior as a per-NODE column. Lets the walk compute every visited
+    # child's PUCT term and the FPU seen-policy as pure column math (one
+    # [A, N] masked reduce per step instead of four); see _child_scores.
+    edge_prior: jnp.ndarray  # float32[N]
     next_free: jnp.ndarray  # int32 scalar — next unallocated slot
     depth: jnp.ndarray  # int32 scalar — depth of last find_leaf
     max_depth: jnp.ndarray  # int32 scalar — max depth this search
@@ -269,6 +280,7 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
         v=jnp.zeros((rows,), jnp.float32),
         e=_alloc_rows(rows, value_size, jnp.float32),
         player=jnp.zeros((rows,), jnp.int32),
+        edge_prior=jnp.zeros((rows,), jnp.float32),
         next_free=jnp.int32(1),
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -323,40 +335,58 @@ def _child_scores(tree: Tree, node: jnp.ndarray, spec: SearchSpec,
     """PUCT scores of every action at ``node`` (MCTS.pyx:86-104).
 
     ``tiebreak`` is a tiny uniform perturbation standing in for the
-    reference's child-list shuffle (MCTS.pyx:78-79). Unlike
-    :func:`child_row`, no child indices are derived here: an allocated child
-    always has n > 0 (it is visited by the simulation that allocates it), so
-    ``child_n > 0`` doubles as the existence test and the scoring loop needs
-    only the two n/q reductions.
+    reference's child-list shuffle (MCTS.pyx:78-79).
+
+    Single-[A,N]-pass formulation: with ``edge_prior[c] == p[pa[c]]`` cached
+    per node, the visited-child PUCT term is pure column math, and the score
+    decomposes as ``score[a] = unvisited[a] + delta[child(a)]`` where
+
+        unvisited[a] = fpu + cpuct * p[a] * sqrt_n + tiebreak[a]
+        delta[c]     = (q[c] - fpu) + cpuct * edge_prior[c] * sqrt_n
+                                      * (1/(1+n[c]) - 1)
+
+    (algebraically ``q[c] + cpuct*p*sqrt_n/(1+n[c])`` when the child exists,
+    the plain FPU/explore term when it does not). Only ONE [A, N] masked
+    reduce (scattering ``delta`` onto the action axis) remains per walk step
+    — the previous formulation needed four (prior row, valids row, child_n,
+    child_q). The prior row doubles as the valid mask (INVALID_PRIOR
+    sentinel), and the FPU seen-policy is a column reduce over edge_prior.
+
+    Returns (scores [A], p_row [A]) — the masked prior row is reused by the
+    caller to record the chosen edge's prior (see :func:`descend`).
     """
     parent = tree.parent[:-1]
     pa = tree.parent_action[:-1]
-    iota_a = jax.lax.iota(jnp.int32, tree.num_actions)[:, None]
-    onehot = (parent[None, :] == node) & (pa[None, :] == iota_a)  # [A, N-1]
-    child_n = jnp.sum(jnp.where(onehot, tree.n[None, :-1], 0), axis=1)
-    child_q = jnp.sum(jnp.where(onehot, tree.q[None, :-1], 0.0), axis=1)
     A = tree.num_actions
-    p = _row(tree.prior, node, A)
-    valid = _row(tree.valids, node, A)
+    pv = _row(tree.prior, node, A)  # packed prior/valid row
+    valid = pv >= 0.0
+    p = jnp.where(valid, pv, 0.0)
 
-    seen_policy = jnp.sum(jnp.where(child_n > 0, p, 0.0))
+    is_child = parent == node  # [N-1]; allocated children always have n > 0
+    ep = tree.edge_prior[:-1]
+    seen_policy = jnp.sum(jnp.where(is_child, ep, 0.0))
     fpu_value = tree.v[node] - spec.fpu_reduction * jnp.sqrt(seen_policy)
     sqrt_n = jnp.sqrt(tree.n[node].astype(jnp.float32))
 
-    value_term = jnp.where(child_n > 0, child_q, fpu_value)
-    explore = spec.cpuct * p * sqrt_n / (1.0 + child_n.astype(jnp.float32))
-    scores = value_term + explore + tiebreak
-    return jnp.where(valid, scores, -jnp.inf)
+    nf = tree.n[:-1].astype(jnp.float32)
+    delta = (tree.q[:-1] - fpu_value) + spec.cpuct * ep * sqrt_n * (
+        1.0 / (1.0 + nf) - 1.0)
+    iota_a = jax.lax.iota(jnp.int32, A)[:, None]
+    onehot = is_child[None, :] & (pa[None, :] == iota_a)  # [A, N-1]
+    delta_row = jnp.sum(jnp.where(onehot, delta[None, :], 0.0), axis=1)
+    scores = fpu_value + spec.cpuct * p * sqrt_n + tiebreak + delta_row
+    return jnp.where(valid, scores, -jnp.inf), p
 
 
 def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
     """Read-only PUCT walk from the root (MCTS.pyx:208-217) for ONE game.
 
-    Returns (node, action, child, depth, skip_walk): ``node`` is the leaf's
-    parent when a new edge must be allocated (child == UNVISITED) or the
-    terminal child itself; env-agnostic, few-scalar carry so vmapping costs
-    scalar selects, not tree copies. The batched Pallas twin lives in
-    ops/descend.py.
+    Returns (node, action, child, depth, skip_walk, p_sel): ``node`` is the
+    leaf's parent when a new edge must be allocated (child == UNVISITED) or
+    the terminal child itself; ``p_sel`` is the chosen edge's prior
+    (``prior[node, action]``) — the caller stores it as the new node's
+    ``edge_prior``. Env-agnostic, few-scalar carry so vmapping costs scalar
+    selects, not tree copies. The batched Pallas twin lives in ops/descend.py.
     """
     A = tree.num_actions
     V = tree.value_size
@@ -365,15 +395,17 @@ def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
     skip_walk = root_unexpanded | eany[ROOT]
 
     def cond(carry):
-        _node, _action, _child, _depth, done = carry
+        _node, _action, _child, _depth, done, _p = carry
         return ~done
 
     iota_n = jax.lax.iota(jnp.int32, tree.parent.shape[0] - 1)
+    iota_a = jax.lax.iota(jnp.int32, A)
 
     def body(carry):
-        node, _action, _child, depth, _done = carry
-        scores = _child_scores(tree, node, spec, tiebreak)
+        node, _action, _child, depth, _done, _p = carry
+        scores, p_row = _child_scores(tree, node, spec, tiebreak)
         action = jnp.argmax(scores).astype(jnp.int32)
+        p_sel = jnp.sum(jnp.where(iota_a == action, p_row, 0.0))
         # The chosen edge's child is derived AFTER the argmax with one [N]
         # pass over the parent links (deriving the whole [A] child row during
         # scoring would double the walk's compare-reduce work).
@@ -389,18 +421,19 @@ def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
         child_terminal = exists & jnp.any(sel & eany[:-1])
         done = ~exists | child_terminal
         next_node = jnp.where(done & ~exists, node, child)
-        return next_node, action, child, depth + 1, done
+        return next_node, action, child, depth + 1, done, p_sel
 
-    node, action, child, depth, _ = jax.lax.while_loop(
+    node, action, child, depth, _, p_sel = jax.lax.while_loop(
         cond, body,
-        (ROOT, jnp.int32(0), jnp.int32(UNVISITED), jnp.int32(0), skip_walk),
+        (ROOT, jnp.int32(0), jnp.int32(UNVISITED), jnp.int32(0), skip_walk,
+         jnp.float32(0.0)),
     )
     depth = jnp.where(skip_walk, 0, depth)
-    return node, action, child, depth, skip_walk
+    return node, action, child, depth, skip_walk, p_sel
 
 
 def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
-               uniform_slot=None) -> Tree:
+               p_sel=None, uniform_slot=None) -> Tree:
     """Allocate/expand the walk's leaf (MCTS.pyx:218-228) — the write half of
     find_leaf.
 
@@ -421,6 +454,8 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
       layout preferences force whole-buffer copies each simulation.
     """
     DUMMY = jnp.int32(tree.dummy)
+    if p_sel is None:
+        p_sel = jnp.float32(0.0)
 
     need_alloc = (child == UNVISITED) & ~skip_walk
     parent_state = gather_state(env, tree, node)
@@ -436,6 +471,7 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
             node_state=node_state,
             parent=tree.parent.at[slot].set(node),
             parent_action=tree.parent_action.at[slot].set(action),
+            edge_prior=tree.edge_prior.at[slot].set(p_sel),
             next_free=tree.next_free + need_alloc.astype(jnp.int32),
         )
         leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
@@ -455,13 +491,13 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
     # ---- uniform-slot mode -------------------------------------------------
     tree, _obs, _e, _valids = _apply_walk_uniform(
         env, tree, node, action, child, depth, skip_walk, need_alloc,
-        child_state, uniform_slot,
+        child_state, uniform_slot, p_sel,
     )
     return tree
 
 
 def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
-                        need_alloc, child_state, uniform_slot):
+                        need_alloc, child_state, uniform_slot, p_sel):
     DUMMY = jnp.int32(tree.dummy)
     slot = jnp.asarray(uniform_slot, jnp.int32)
     alloc_row = jnp.where(need_alloc, slot, DUMMY)
@@ -471,6 +507,9 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
         node_state=_scatter_state_uniform(tree.node_state, child_state, slot),
         parent=tree.parent.at[alloc_row].set(node),
         parent_action=tree.parent_action.at[alloc_row].set(action),
+        # Unconditional at the uniform slot: non-allocating games leave junk
+        # there, unreachable because their parent row stays UNVISITED.
+        edge_prior=tree.edge_prior.at[slot].set(p_sel),
         # Junk slots (games that did not allocate) stay within the bound but
         # are unreachable (parent UNVISITED); the bound preserves the
         # rows-beyond-are-pristine invariant reroot depends on.
@@ -509,7 +548,7 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
 
 
 def apply_walk_observe(env, tree: Tree, node, action, child, depth, skip_walk,
-                       uniform_slot):
+                       p_sel, uniform_slot):
     """Uniform-slot apply_walk that also returns the leaf's observation,
     terminal vector, and valid-move mask (see _apply_walk_uniform)."""
     need_alloc = (child == UNVISITED) & ~skip_walk
@@ -517,7 +556,7 @@ def apply_walk_observe(env, tree: Tree, node, action, child, depth, skip_walk,
     child_state = env.step(parent_state, action)
     return _apply_walk_uniform(env, tree, node, action, child, depth,
                                skip_walk, need_alloc, child_state,
-                               uniform_slot)
+                               uniform_slot, p_sel)
 
 
 def expand_root(env, tree: Tree):
@@ -550,8 +589,9 @@ def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
     without an RNG call per depth step.
     """
     tiebreak = jax.random.uniform(rng, (tree.num_actions,)) * 1e-6
-    node, action, child, depth, skip_walk = descend(tree, spec, tiebreak)
-    return apply_walk(env, tree, node, action, child, depth, skip_walk)
+    node, action, child, depth, skip_walk, p_sel = descend(tree, spec,
+                                                           tiebreak)
+    return apply_walk(env, tree, node, action, child, depth, skip_walk, p_sel)
 
 
 def leaf_observation(env, tree: Tree) -> jnp.ndarray:
@@ -632,6 +672,9 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
         new_prior = jnp.where(is_root, with_root_adjust(masked), masked)
     else:
         new_prior = masked
+    # Pack the valid mask into the stored row (INVALID_PRIOR sentinel) so the
+    # walk needs only this one row read per step.
+    new_prior = jnp.where(valids, new_prior, jnp.float32(INVALID_PRIOR))
     if uniform_slot is not None:
         return tree.replace(prior=_set_row_uniform(
             tree.prior, jnp.asarray(uniform_slot, jnp.int32), new_prior))
@@ -789,6 +832,7 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
         v=live(tree.v[gather_idx], 0.0),
         e=live(take_rows(tree.e, V), 0.0, V),
         player=live(tree.player[gather_idx], 0),
+        edge_prior=live(tree.edge_prior[gather_idx], 0.0).at[ROOT].set(0.0),
         next_free=count,
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),

@@ -63,6 +63,7 @@ class TreeT:
     e: jnp.ndarray  # float32[N*V, B]
     eany: jnp.ndarray  # float32[N, B] — 1.0 where the node is terminal
     player: jnp.ndarray  # int32[N, B]
+    edge_prior: jnp.ndarray  # float32[N, B] — see tree.Tree.edge_prior
     next_free: jnp.ndarray  # int32[B]
     depth: jnp.ndarray  # int32[B]
     max_depth: jnp.ndarray  # int32[B]
@@ -98,6 +99,7 @@ def tree_to_tree_t(trees: Tree) -> TreeT:
         e=t(trees.e),
         eany=t(eany.astype(jnp.float32)),
         player=t(trees.player),
+        edge_prior=t(trees.edge_prior),
         next_free=trees.next_free,
         depth=trees.depth,
         max_depth=trees.max_depth,
@@ -121,6 +123,7 @@ def tree_t_to_tree(tt: TreeT) -> Tree:
         v=t(tt.v),
         e=t(tt.e),
         player=t(tt.player),
+        edge_prior=t(tt.edge_prior),
         next_free=tt.next_free,
         depth=tt.depth,
         max_depth=tt.max_depth,
@@ -227,7 +230,7 @@ def expand_root_t(env, tt: TreeT):
 
 
 def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
-                         skip_walk, slot):
+                         skip_walk, p_sel, slot):
     """Uniform-slot apply_walk in game-minor layout (see
     tree._apply_walk_uniform for the write-strategy rationale).
 
@@ -255,6 +258,9 @@ def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
         parent_action=_dus_rows(
             tt.parent_action, slot,
             jnp.where(need_alloc[None, :], action[None, :], old_a)),
+        # Unconditional: non-allocating games leave junk at an unreachable
+        # slot (their parent row stays UNVISITED).
+        edge_prior=_dus_rows(tt.edge_prior, slot, p_sel[None, :]),
         next_free=jnp.broadcast_to(slot + 1, (B,)),
     )
     leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
@@ -317,6 +323,8 @@ def install_prior_t(tt: TreeT, pi: jnp.ndarray, spec: SearchSpec,
         new_prior = jnp.where(is_root, adjusted, masked)
     else:
         new_prior = masked
+    # Pack the valid mask into the stored row (tree.INVALID_PRIOR sentinel).
+    new_prior = jnp.where(valids, new_prior, jnp.float32(T.INVALID_PRIOR))
 
     return tt.replace(prior=_dus_rows(
         tt.prior, jnp.asarray(slot, jnp.int32) * A,

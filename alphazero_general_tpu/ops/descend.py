@@ -7,10 +7,17 @@ is ~100x cheaper than the walk). This kernel fuses the complete walk for a
 block of games into one program: tree arrays live in VMEM in game-minor
 layout ([N, A, LANES] — games ride the 128-wide lane dimension), per-lane
 dynamic node indexing is expressed as masked reductions over the node axis,
-and the while loop runs entirely on-chip. Child links and visit/value
-statistics are derived in-kernel from the parent/parent_action/n/q columns
-(the array tree stores no children buffer — see mcts/tree.py child_row), so
-the only [N, A, LANES] blocks resident in VMEM are prior and valids.
+and the while loop runs entirely on-chip.
+
+Per-step work is TWO [N, A, LANES] passes (the mcts/tree.py `_child_scores`
+docstring derives the decomposition):
+
+  * the packed prior row at the current node (valid mask folded in as the
+    INVALID_PRIOR sentinel — no separate valids block exists in VMEM);
+  * one masked scatter of the per-child ``delta`` column onto the action
+    axis (child links derived from parent/parent_action; the cached
+    ``edge_prior`` column makes visited-child PUCT terms and the FPU
+    seen-policy pure [N, LANES] column math).
 
 Semantics are identical to `descend` (MCTS.pyx:208-217): PUCT with
 FPU-reduction from seen policy, stop at an unallocated edge or terminal
@@ -33,24 +40,27 @@ NEG_INF = -3.0e38
 UNVISITED = -1  # plain int: jnp scalars would be captured consts in the kernel
 
 
-def _descend_kernel(parent_ref, pa_ref, prior_ref, valids_ref, n_ref, q_ref,
-                    v_ref, eany_ref, tiebreak_ref, out_ref,
+def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
+                    v_ref, ep_ref, eany_ref, tiebreak_ref,
+                    out_ref, psel_ref,
                     *, spec: SearchSpec, num_nodes: int, num_actions: int):
     N, A = num_nodes, num_actions
     node_iota1 = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
     node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 0)
     act_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 1)
+    act_iota1 = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
 
     n_all = n_ref[...]  # [N, LANES] i32
     n_all_f = n_all.astype(jnp.float32)
     q_all = q_ref[...]  # [N, LANES] f32
+    v_all = v_ref[...]  # [N, LANES] f32
+    ep_all = ep_ref[...]  # [N, LANES] f32 edge priors
     eany_all = eany_ref[...]  # [N, LANES] f32 (1.0 = terminal)
     tiebreak = tiebreak_ref[...]  # [A, LANES]
     parent_all = parent_ref[...]  # [N, LANES] i32
     pa_all = pa_ref[...]  # [N, LANES] i32
     # The dummy write sink (last row) accumulates junk parent/parent_action
     # values from masked scatters; it must never be derived as a child.
-    not_dummy = node_iota2 < (N - 1)
     not_dummy1 = node_iota1 < (N - 1)
 
     root_n = n_all[0]  # [LANES]
@@ -58,54 +68,47 @@ def _descend_kernel(parent_ref, pa_ref, prior_ref, valids_ref, n_ref, q_ref,
     # done carried as int32 0/1 — Mosaic mis-lays-out i1 while-loop carries.
     init_done = ((root_n == 0) | (root_eany > 0.5)).astype(jnp.int32)
 
-    def row(ref, sel3):
-        return jnp.sum(ref[...] * sel3, axis=0)  # [A, LANES]
-
     def cond(carry):
-        _node, _action, _child, _depth, done = carry
+        _node, _action, _child, _depth, done, _p = carry
         return jnp.logical_not(jnp.all(done > 0))
 
     def body(carry):
-        node, action, child, depth, done_i = carry  # each [1, LANES] i32
+        node, action, child, depth, done_i, p_sel = carry  # [1, LANES] each
         done = done_i > 0
-        sel3 = (node_iota2 == node[None]).astype(jnp.float32)  # [N, A, LANES]
-        row_prior = row(prior_ref, sel3)
-        row_valid = row(valids_ref, sel3)
+        sel1f = (node_iota1 == node).astype(jnp.float32)  # [N, LANES]
+        cur_n = jnp.sum(n_all_f * sel1f, axis=0, keepdims=True)  # [1, LANES]
+        cur_v = jnp.sum(v_all * sel1f, axis=0, keepdims=True)
 
-        # Derived edges: node c is the child of (node, a) iff
-        # parent[c] == node and parent_action[c] == a. Allocated children
-        # always have n > 0, so child_n > 0 doubles as the existence test —
-        # only the two n/q reductions run during scoring.
-        selc = ((parent_all[:, None, :] == node[None])
-                & (pa_all[:, None, :] == act_iota2)
-                & not_dummy)  # [N, A, LANES]
-        selc_f = selc.astype(jnp.float32)
-        child_n = jnp.sum(n_all_f[:, None, :] * selc_f, axis=0)  # [A, LANES]
-        child_q = jnp.sum(q_all[:, None, :] * selc_f, axis=0)
-
-        sel1 = (node_iota1 == node).astype(jnp.float32)  # [N, LANES]
-        cur_n = jnp.sum(n_all_f * sel1, axis=0, keepdims=True)  # [1, LANES]
-        cur_v = jnp.sum(v_ref[...] * sel1, axis=0, keepdims=True)
-
-        # PUCT scores (MCTS.pyx:86-104).
-        seen_policy = jnp.sum(
-            jnp.where(child_n > 0, row_prior, 0.0), axis=0, keepdims=True
-        )
+        # Children of the current node (allocated children always have
+        # n > 0, so this existence test needs no visit counts).
+        childmask = (parent_all == node) & not_dummy1  # [N, LANES]
+        childf = childmask.astype(jnp.float32)
+        seen_policy = jnp.sum(ep_all * childf, axis=0, keepdims=True)
         fpu_value = cur_v - spec.fpu_reduction * jnp.sqrt(
-            jnp.maximum(seen_policy, 0.0)
-        )
+            jnp.maximum(seen_policy, 0.0))
         sqrt_n = jnp.sqrt(cur_n)
-        value_term = jnp.where(child_n > 0, child_q, fpu_value)
-        explore = spec.cpuct * row_prior * sqrt_n / (1.0 + child_n)
-        scores = value_term + explore + tiebreak
-        scores = jnp.where(row_valid > 0.5, scores, NEG_INF)
 
-        best = jnp.argmax(scores, axis=0).astype(jnp.int32)[None]  # [1, LANES]
-        # The chosen edge's child via one [N, LANES] pass over parent links
-        # (deriving the whole child row during scoring would double the
-        # walk's compare-reduce work).
-        selb = ((parent_all == node) & (pa_all == best)
-                & not_dummy1).astype(jnp.float32)  # [N, LANES]
+        # Per-child score delta vs the unvisited baseline (see
+        # tree._child_scores): column math only.
+        delta = (q_all - fpu_value) + spec.cpuct * ep_all * sqrt_n * (
+            1.0 / (1.0 + n_all_f) - 1.0)  # [N, LANES]
+        selc = childmask[:, None, :] & (pa_all[:, None, :] == act_iota2)
+        delta_row = jnp.sum(jnp.where(selc, delta[:, None, :], 0.0),
+                            axis=0)  # [A, LANES]
+
+        sel3f = (node_iota2 == node[None]).astype(jnp.float32)
+        pv_row = jnp.sum(pv_ref[...] * sel3f, axis=0)  # [A, LANES]
+        valid = pv_row >= 0.0
+        p_row = jnp.where(valid, pv_row, 0.0)
+
+        scores = fpu_value + spec.cpuct * p_row * sqrt_n + tiebreak + delta_row
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        best = jnp.argmax(scores, axis=0).astype(jnp.int32)[None]  # [1,LANES]
+        new_p_sel = jnp.sum(jnp.where(act_iota1 == best, p_row, 0.0),
+                            axis=0, keepdims=True)  # [1, LANES]
+        # The chosen edge's child via one [N, LANES] pass over parent links.
+        selb = (childmask & (pa_all == best)).astype(jnp.float32)
         best_exists = jnp.sum(selb, axis=0, keepdims=True) > 0.0
         best_child = jnp.where(
             best_exists,
@@ -125,148 +128,128 @@ def _descend_kernel(parent_ref, pa_ref, prior_ref, valids_ref, n_ref, q_ref,
         action = jnp.where(done, action, best)
         child = jnp.where(done, child, best_child)
         depth = jnp.where(done, depth, depth + 1)
+        p_sel = jnp.where(done, p_sel, new_p_sel)
         done_i = jnp.maximum(done_i, step_done.astype(jnp.int32))
-        return node, action, child, depth, done_i
+        return node, action, child, depth, done_i, p_sel
 
     zeros = jnp.zeros((1, LANES), jnp.int32)
-    node, action, child, depth, done = jax.lax.while_loop(
+    node, action, child, depth, done, p_sel = jax.lax.while_loop(
         cond, body,
         (zeros, zeros, jnp.full((1, LANES), UNVISITED, jnp.int32), zeros,
-         init_done[None]),
+         init_done[None], jnp.zeros((1, LANES), jnp.float32)),
     )
     out_ref[0, :] = node[0]
     out_ref[1, :] = action[0]
     out_ref[2, :] = child[0]
     out_ref[3, :] = depth[0]
+    psel_ref[0, :] = p_sel[0]
+
+
+def _call_descend(parent, parent_action, pv, n, q, v, edge_prior, eany,
+                  tiebreak, spec: SearchSpec, interpret: bool):
+    """Shared pallas_call: all inputs already game-minor ([N, B] columns,
+    [N, A, B] prior block, [A, B] tiebreak)."""
+    N, A, B = pv.shape
+    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
+
+    grid = (B // LANES,)
+    kernel = functools.partial(
+        _descend_kernel, spec=spec, num_nodes=N, num_actions=A
+    )
+
+    def nab():
+        return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
+                            memory_space=pltpu.VMEM)
+
+    def nb():
+        return pl.BlockSpec((N, LANES), lambda g: (0, g),
+                            memory_space=pltpu.VMEM)
+
+    out, psel = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            nb(),   # parent
+            nb(),   # parent_action
+            nab(),  # packed prior/valid
+            nb(),   # n
+            nb(),   # q
+            nb(),   # v
+            nb(),   # edge_prior
+            nb(),   # eany
+            pl.BlockSpec((A, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),  # tiebreak
+        ],
+        out_specs=(
+            pl.BlockSpec((4, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ),
+        interpret=interpret,
+    )(parent, parent_action, pv, n, q, v, edge_prior, eany, tiebreak)
+    return out[0], out[1], out[2], out[3], psel[0]
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def descend_batched_pallas(parent, parent_action, prior, valids, n, q, v,
+def descend_batched_pallas(parent, parent_action, pv, n, q, v, edge_prior,
                            eany, tiebreak, spec: SearchSpec,
                            interpret: bool = False):
     """Batched walk. Inputs are the batched tree arrays (batch-major, as held
     by the vmapped Tree) — transposed here to game-minor layout.
 
-    Returns (node, action, child, depth) each int32[B].
+    Returns (node, action, child, depth, p_sel): int32[B] x4 + float32[B].
     """
-    B, N, A = prior.shape
-    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
-
-    # [N, A, B] blocks as f32 so in-kernel masked reductions stay on the
-    # VPU's native type; columns stay i32 (compared, not accumulated).
-    pt = jnp.transpose(prior, (1, 2, 0))
-    vt = jnp.transpose(valids.astype(jnp.float32), (1, 2, 0))
+    pt = jnp.transpose(pv, (1, 2, 0))
     part = jnp.transpose(parent, (1, 0))
     pat = jnp.transpose(parent_action, (1, 0))
     nt = jnp.transpose(n, (1, 0))
     qt = jnp.transpose(q, (1, 0))
     vvt = jnp.transpose(v, (1, 0))
+    ept = jnp.transpose(edge_prior, (1, 0))
     et = jnp.transpose(eany.astype(jnp.float32), (1, 0))
     tt = jnp.transpose(tiebreak, (1, 0))
-
-    grid = (B // LANES,)
-    kernel = functools.partial(
-        _descend_kernel, spec=spec, num_nodes=N, num_actions=A
-    )
-
-    def nab():
-        return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
-                            memory_space=pltpu.VMEM)
-
-    def nb():
-        return pl.BlockSpec((N, LANES), lambda g: (0, g),
-                            memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            nb(),   # parent
-            nb(),   # parent_action
-            nab(),  # prior
-            nab(),  # valids
-            nb(),   # n
-            nb(),   # q
-            nb(),   # v
-            nb(),   # eany
-            pl.BlockSpec((A, LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),  # tiebreak
-        ],
-        out_specs=pl.BlockSpec((4, LANES), lambda g: (0, g),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
-        interpret=interpret,
-    )(part, pat, pt, vt, nt, qt, vvt, et, tt)
-    return out[0], out[1], out[2], out[3]
+    return _call_descend(part, pat, pt, nt, qt, vvt, ept, et, tt, spec,
+                         interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def descend_batched_pallas_t(parent, parent_action, prior, valids, n, q, v,
+def descend_batched_pallas_t(parent, parent_action, pv, n, q, v, edge_prior,
                              eany, tiebreak, spec: SearchSpec,
                              interpret: bool = False):
     """Game-minor twin of :func:`descend_batched_pallas`: inputs are ALREADY
     [N, B] columns / [N, A, B] blocks (the persistent TreeT layout), so no
     per-sim transposes happen at all. ``tiebreak`` is [A, B]."""
-    N, A, B = prior.shape
-    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
-
-    grid = (B // LANES,)
-    kernel = functools.partial(
-        _descend_kernel, spec=spec, num_nodes=N, num_actions=A
-    )
-
-    def nab():
-        return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
-                            memory_space=pltpu.VMEM)
-
-    def nb():
-        return pl.BlockSpec((N, LANES), lambda g: (0, g),
-                            memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            nb(),   # parent
-            nb(),   # parent_action
-            nab(),  # prior
-            nab(),  # valids
-            nb(),   # n
-            nb(),   # q
-            nb(),   # v
-            nb(),   # eany
-            pl.BlockSpec((A, LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),  # tiebreak
-        ],
-        out_specs=pl.BlockSpec((4, LANES), lambda g: (0, g),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, B), jnp.int32),
-        interpret=interpret,
-    )(parent, parent_action, prior, valids, n, q, v, eany, tiebreak)
-    return out[0], out[1], out[2], out[3]
+    return _call_descend(parent, parent_action, pv, n, q, v, edge_prior,
+                         eany, tiebreak, spec, interpret)
 
 
 def descend_batched_t(tt, spec: SearchSpec, tiebreak_t,
                       interpret: bool = False):
     """Walk on a game-minor TreeT; ``tiebreak_t`` is [A, B].
 
-    Returns (node, action, child, depth, skip_walk) as int32[B]/bool[B]."""
+    Returns (node, action, child, depth, skip_walk, p_sel)."""
     N = tt.n.shape[0]
     A = tt.num_actions
-    node, action, child, depth = descend_batched_pallas_t(
+    node, action, child, depth, p_sel = descend_batched_pallas_t(
         tt.parent, tt.parent_action,
-        tt.prior.reshape(N, A, -1), tt.valids.reshape(N, A, -1),
-        tt.n, tt.q, tt.v, tt.eany, tiebreak_t, spec, interpret=interpret,
+        tt.prior.reshape(N, A, -1),
+        tt.n, tt.q, tt.v, tt.edge_prior, tt.eany, tiebreak_t,
+        spec, interpret=interpret,
     )
     skip_walk = (tt.n[0] == 0) | (tt.eany[0] > 0.5)
     depth = jnp.where(skip_walk, 0, depth)
-    return node, action, child, depth, skip_walk
+    return node, action, child, depth, skip_walk, p_sel
 
 
 def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
     """Walk every game's tree; trees is a vmapped Tree pytree [B, ...].
 
-    Returns (node, action, child, depth, skip_walk) like
+    Returns (node, action, child, depth, skip_walk, p_sel) like
     vmap(tree.descend) but as one fused kernel. The flat [B, N*A] row arrays
     (see mcts/tree.py layout notes) are viewed as [B, N, A] here; the reshape
     fuses into the kernel-input transposes.
@@ -275,13 +258,13 @@ def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
     N = trees.n.shape[1]
     A = trees.num_actions
     V = trees.value_size
-    as_rows = lambda buf: buf.reshape(B, N, A)  # noqa: E731
     eany = jnp.any(trees.e.reshape(B, N, V) > 0, axis=-1)
-    node, action, child, depth = descend_batched_pallas(
+    node, action, child, depth, p_sel = descend_batched_pallas(
         trees.parent, trees.parent_action,
-        as_rows(trees.prior), as_rows(trees.valids),
-        trees.n, trees.q, trees.v, eany, tiebreak, spec, interpret=interpret,
+        trees.prior.reshape(B, N, A),
+        trees.n, trees.q, trees.v, trees.edge_prior, eany, tiebreak,
+        spec, interpret=interpret,
     )
     skip_walk = (trees.n[:, 0] == 0) | eany[:, 0]
     depth = jnp.where(skip_walk, 0, depth)
-    return node, action, child, depth, skip_walk
+    return node, action, child, depth, skip_walk, p_sel

@@ -35,7 +35,9 @@ def _snapshot(tree, game: Optional[int]):
         "n": get(tree.n),
         "q": get(tree.q),
         "v": get(tree.v),
-        "prior": get(tree.prior).reshape(rows, A),
+        # The stored row packs the valid mask as a -1 sentinel
+        # (tree.INVALID_PRIOR); display the clean probabilities.
+        "prior": np.maximum(get(tree.prior).reshape(rows, A), 0.0),
         "next_free": int(get(tree.next_free)),
     }
 

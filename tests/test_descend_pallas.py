@@ -89,5 +89,5 @@ def test_walk_outputs_match_directly():
     xla = jax.vmap(lambda t, tb: T.descend(t, SPEC, tb))(trees, tiebreaks)
     pal = S._batched_walk(trees, SPEC, tiebreaks, "pallas_interpret")
     for a, b, name in zip(xla, pal, ["node", "action", "child", "depth",
-                                     "skip"]):
+                                     "skip", "p_sel"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
