@@ -111,6 +111,30 @@ class NNetWrapper:
 
         return eval_fn
 
+    def quantized_inference(self, calib_obs=None, rng=None):
+        """Int8-tower inference parameters + apply fn (see models/quant.py).
+
+        Returns ``(qparams, apply_fn)`` where ``apply_fn(qparams, obs) ->
+        (log_pi, log_v)`` — the same contract as ``model.apply`` inside the
+        self-play move programs, so gated-model swaps stay pointer swaps.
+        Re-call after each training iteration to refresh weights/scales.
+        Raises ValueError for architectures without a quantized path
+        (fc nets, groupnorm towers).
+        """
+        from alphazero_general_tpu.models.architectures import ResNet
+        from alphazero_general_tpu.models.quant import (
+            calibration_observations, quant_apply, quantize_resnet,
+        )
+
+        if not isinstance(self.model, ResNet):
+            raise ValueError("quantized inference supports ResNet only")
+        if calib_obs is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(int(self.args.get("seed", 0)))
+            calib_obs = calibration_observations(self.env, rng)
+        qp = quantize_resnet(self.model, self.state.variables, calib_obs)
+        return qp, quant_apply
+
     # ----------------------------------------------------------------- train
     def _loss(self, params, batch_stats, batch, train: bool = True):
         obs, target_pi, target_v = batch

@@ -158,19 +158,28 @@ class Coach:
 
         return apply
 
-    def _move_fns(self):
+    def _move_fns(self, quant: bool = False):
         """Separately-jitted fast/full/warmup move runners (host-side
         fast-sim choice — far cheaper to compile than traced two-branch
-        search conds)."""
+        search conds). ``quant=True`` binds the int8 apply fn
+        (models/quant.py) — callers then pass quantized parameters."""
+        key = "fns_quant" if quant else "fns"
         if not self._chunk_fns:
-            cfg = SelfPlayConfig.from_args(
-                self.args, self.env.NUM_PLAYERS, self.env.HAS_DRAW
-            )
             self._chunk_fns = {
-                "cfg": cfg,
-                "fns": make_move_fns(self.env, cfg, self._apply_fn()),
+                "cfg": SelfPlayConfig.from_args(
+                    self.args, self.env.NUM_PLAYERS, self.env.HAS_DRAW
+                ),
             }
-        return self._chunk_fns["cfg"], self._chunk_fns["fns"]
+        if key not in self._chunk_fns:
+            if quant:
+                from alphazero_general_tpu.models.quant import quant_apply
+
+                apply_fn = quant_apply
+            else:
+                apply_fn = self._apply_fn()
+            self._chunk_fns[key] = make_move_fns(
+                self.env, self._chunk_fns["cfg"], apply_fn)
+        return self._chunk_fns["cfg"], self._chunk_fns[key]
 
     # ------------------------------------------------------------ main loop
     def learn(self) -> None:
@@ -227,13 +236,21 @@ class Coach:
         (replaces Coach.py:290-435: agents + inference server + sample drain).
         """
         self.state = TrainState.SELF_PLAY
-        cfg, fns = self._move_fns()
         batch = int(self.args.process_batch_size)
         target = int(self.args.gamesPerIteration)
 
         # Self-play uses the gated model (Coach.py:337-338).
         net = self.self_play_net if self.args.model_gating else self.train_net
-        variables = net.state.variables
+        quant = bool(self.args.get("quant_selfplay", False)) and not self.warmup
+        if quant:
+            try:
+                # Re-quantize each iteration: weights/scales track training.
+                variables, _ = net.quantized_inference(rng=self._next_rng())
+            except ValueError:
+                quant = False
+        if not quant:
+            variables = net.state.variables
+        cfg, fns = self._move_fns(quant=quant)
 
         carry = init_selfplay(self.env, batch, cfg.start_temp, cfg=cfg)
         records = []

@@ -62,15 +62,22 @@ def main() -> None:
             num_players=env.NUM_PLAYERS, has_draw=env.HAS_DRAW,
         ),
     )
-    model = net.model
+    # Int8-quantized self-play inference (models/quant.py) is the production
+    # config (args.quant_selfplay); BENCH_NO_QUANT=1 measures the bf16 path.
+    quant = not os.environ.get("BENCH_NO_QUANT")
+    if quant:
+        raw_vars, apply_fn = net.quantized_inference()
+    else:
+        raw_vars = net.state.variables
+        model = net.model
 
-    def apply_fn(variables, obs):
-        return model.apply(variables, obs, train=False)
+        def apply_fn(variables, obs):
+            return model.apply(variables, obs, train=False)
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.reshape(-1))
     fns = make_move_fns(env, cfg, apply_fn, mesh=mesh)
-    variables = replicate_tree(net.state.variables, mesh)
+    variables = replicate_tree(raw_vars, mesh)
     carry = shard_selfplay_carry(init_selfplay(env, GAMES, 1.0), mesh)
 
     rng = jax.random.PRNGKey(0)
@@ -113,6 +120,7 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
         "measure_s": round(elapsed, 1),
         "model": "resnet128x8",
+        "int8_selfplay_inference": bool(quant),
     }
     tafl = _tafl_datapoint()
     if tafl is not None:
