@@ -749,6 +749,66 @@ def _renorm(p: jnp.ndarray) -> jnp.ndarray:
     return p / jnp.maximum(jnp.sum(p), 1e-30)
 
 
+def slice_batched_rows(trees: Tree, n: int) -> Tree:
+    """First ``n`` node rows of a BATCHED Tree ([B, ...] pytree).
+
+    Fresh-tree uniform-slot searches touch only rows < hi during sims
+    [lo, hi); slicing to ``n ≥ hi + 1`` rows shrinks every O(rows) pass of
+    the walk/backup (growing-arena segmentation, search._segment_plan).
+    Within the slice the sink row is index n-1; `_apply_walk_uniform` parks
+    junk parent/parent_action there for non-allocating games, which
+    :func:`merge_batched_rows` wipes back to UNVISITED before the slice
+    rejoins the full arena.
+    """
+    full = trees.parent.shape[1]
+
+    def cut(buf):
+        if buf.ndim == 1:  # per-game scalars
+            return buf
+        if buf.ndim >= 3:  # [B, rows, size]
+            return buf[:, :n]
+        per = buf.shape[1] // full  # [B, rows*size] flat
+        return buf[:, : n * per]
+
+    return trees.replace(
+        node_state=jax.tree_util.tree_map(cut, trees.node_state),
+        parent=cut(trees.parent), parent_action=cut(trees.parent_action),
+        valids=cut(trees.valids), prior=cut(trees.prior), n=cut(trees.n),
+        q=cut(trees.q), v=cut(trees.v), e=cut(trees.e),
+        player=cut(trees.player), edge_prior=cut(trees.edge_prior),
+    )
+
+
+def merge_batched_rows(full: Tree, part: Tree) -> Tree:
+    """Write a searched slice back over the full batched arena, restoring
+    the slice's sink row (n-1) to pristine UNVISITED (see
+    :func:`slice_batched_rows`)."""
+    n = part.parent.shape[1]
+    part = part.replace(
+        parent=part.parent.at[:, n - 1].set(UNVISITED),
+        parent_action=part.parent_action.at[:, n - 1].set(UNVISITED),
+    )
+
+    def m(f, p):
+        if p.ndim == 1:
+            return p
+        start = (jnp.int32(0),) * p.ndim
+        return jax.lax.dynamic_update_slice(f, p.astype(f.dtype), start)
+
+    return full.replace(
+        node_state=jax.tree_util.tree_map(m, full.node_state,
+                                          part.node_state),
+        parent=m(full.parent, part.parent),
+        parent_action=m(full.parent_action, part.parent_action),
+        valids=m(full.valids, part.valids), prior=m(full.prior, part.prior),
+        n=m(full.n, part.n), q=m(full.q, part.q), v=m(full.v, part.v),
+        e=m(full.e, part.e), player=m(full.player, part.player),
+        edge_prior=m(full.edge_prior, part.edge_prior),
+        next_free=part.next_free, depth=part.depth,
+        max_depth=part.max_depth, leaf=part.leaf,
+    )
+
+
 def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
     """Re-root the tree at the root's child for ``action`` — the array-tree
     equivalent of tree reuse via update_root (MCTS.pyx:185-195).

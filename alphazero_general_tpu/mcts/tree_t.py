@@ -133,6 +133,53 @@ def tree_t_to_tree(tt: TreeT) -> Tree:
     )
 
 
+def slice_rows_t(tt: TreeT, n: int) -> TreeT:
+    """View of the first ``n`` node rows of every tree buffer.
+
+    Fresh-tree searches allocate slot k at simulation k, so sims in
+    [lo, hi) only ever touch rows < hi — running them on an ``n ≥ hi + 1``
+    slice cuts every O(rows) walk/backup/column pass proportionally (the
+    growing-arena segmented scan, see search._segment_plan). The TreeT
+    uniform-slot write path never scatters to the sink row, so slices merge
+    back with no cleanup.
+    """
+    full = tt.parent.shape[0]
+
+    def cut(buf):
+        per = buf.shape[0] // full
+        return buf[: n * per]
+
+    return tt.replace(
+        node_state=jax.tree_util.tree_map(cut, tt.node_state),
+        parent=cut(tt.parent), parent_action=cut(tt.parent_action),
+        valids=cut(tt.valids), prior=cut(tt.prior), n=cut(tt.n),
+        q=cut(tt.q), v=cut(tt.v), e=cut(tt.e), eany=cut(tt.eany),
+        player=cut(tt.player), edge_prior=cut(tt.edge_prior),
+    )
+
+
+def merge_rows_t(full: TreeT, part: TreeT) -> TreeT:
+    """Write a searched slice back over the full buffers (rows beyond the
+    slice are untouched by construction)."""
+    def m(f, p):
+        return jax.lax.dynamic_update_slice(f, p.astype(f.dtype),
+                                            (jnp.int32(0), jnp.int32(0)))
+
+    return full.replace(
+        node_state=jax.tree_util.tree_map(m, full.node_state,
+                                          part.node_state),
+        parent=m(full.parent, part.parent),
+        parent_action=m(full.parent_action, part.parent_action),
+        valids=m(full.valids, part.valids), prior=m(full.prior, part.prior),
+        n=m(full.n, part.n), q=m(full.q, part.q), v=m(full.v, part.v),
+        e=m(full.e, part.e), eany=m(full.eany, part.eany),
+        player=m(full.player, part.player),
+        edge_prior=m(full.edge_prior, part.edge_prior),
+        next_free=part.next_free, depth=part.depth,
+        max_depth=part.max_depth, leaf=part.leaf,
+    )
+
+
 def _dus_rows(buf: jnp.ndarray, start_row, block: jnp.ndarray) -> jnp.ndarray:
     """Write a [K, B] slab at a (traced) leading-axis row offset."""
     return jax.lax.dynamic_update_slice(

@@ -162,8 +162,15 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
     if cfg.reuse_tree:
         trees = carry.trees  # carried, already rooted at `states`
     else:
-        trees = S.init_batched_trees(env, states, cfg.capacity,
-                                     cfg.spec.value_size)
+        # Right-size the fresh arena to the sims this move actually runs:
+        # fast moves (75% by default) otherwise pay every O(rows) walk pass
+        # at full-search size (fast 40-sim searches on a 200-sim arena).
+        cap = cfg.capacity
+        if warmup:
+            cap = min(cap, cfg.sims_warmup + 2)
+        elif sims_override is not None:
+            cap = min(cap, sims_override + 2)
+        trees = S.init_batched_trees(env, states, cap, cfg.spec.value_size)
 
     if warmup:
         # Uniform policy/value, no network (SelfPlayAgent.pyx:48-52, 111-114).

@@ -31,7 +31,11 @@ GAMES = int(os.environ.get("BENCH_GAMES", 2048))
 SIMS_FULL = int(os.environ.get("BENCH_SIMS", 200))
 SIMS_FAST = int(os.environ.get("BENCH_SIMS_FAST", 40))
 PROB_FAST = 0.75
-MEASURE_MOVES = int(os.environ.get("BENCH_MOVES", 12))
+MEASURE_MOVES = int(os.environ.get("BENCH_MOVES", 24))
+# Deterministic fast/full schedule at exactly probFastSim's expectation
+# (3 fast : 1 full) — the reference draws per move (SelfPlayAgent.pyx:84-86);
+# measuring at the exact expected mix removes run-to-run mix variance.
+KIND_CYCLE = ("fast", "fast", "fast", "full")
 
 
 def main() -> None:
@@ -92,14 +96,15 @@ def main() -> None:
     compile_s = time.time() - t0
 
     # Measure steady state.
+    del host_rng
     total_sims = 0
     games0 = int(carry.games_played)
     t0 = time.time()
-    for _ in range(MEASURE_MOVES):
-        fast = host_rng.random() < PROB_FAST
+    for i in range(MEASURE_MOVES):
+        kind = KIND_CYCLE[i % len(KIND_CYCLE)]
         rng, sub = jax.random.split(rng)
-        carry, rec = fns["fast" if fast else "full"](variables, carry, sub)
-        total_sims += (SIMS_FAST if fast else SIMS_FULL) * GAMES
+        carry, rec = fns[kind](variables, carry, sub)
+        total_sims += (SIMS_FAST if kind == "fast" else SIMS_FULL) * GAMES
     jax.block_until_ready(carry.games_played)
     elapsed = time.time() - t0
     games_done = int(carry.games_played) - games0
