@@ -84,11 +84,16 @@ def _batched_walk(trees, spec, tiebreaks, walk_impl: str):
 def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
                   rng: jnp.ndarray, add_root_noise=None, add_root_temp=None,
                   root_adjust: bool = True, walk_impl: str = "auto",
-                  uniform_slot=None, expand_root_only: bool = False):
+                  uniform_slot=None, expand_root_only: bool = False,
+                  backup_impl: str | None = None):
     """One simulation round for every game in the batch.
 
     ``walk_impl``: 'auto' | 'pallas' | 'pallas_interpret' | 'xla' — which
     implementation performs the PUCT descent (identical semantics).
+    ``backup_impl``: separate choice for the backup kernel (defaults to
+    ``walk_impl``; the backup gate is looser, see _pick_backup_impl).
+    Segmented searches PIN both on the full-arena shape so one search never
+    mixes implementations across its arena slices.
 
     ``uniform_slot``: fresh-tree fast path (see tree.apply_walk) — the slot
     simulation k allocates is k, identical for every game, so the big-row
@@ -148,7 +153,7 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
             )
         )(trees, pi, jax.random.split(rng_noise, B))
 
-    use_pallas_backup = _pick_backup_impl(trees, walk_impl) in (
+    use_pallas_backup = _pick_backup_impl(trees, backup_impl or walk_impl) in (
         "pallas", "pallas_interpret")
     if use_pallas_backup:
         from alphazero_general_tpu.ops.backup import backup_batched
@@ -304,10 +309,17 @@ def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
             return _search_t(env, trees, spec, eval_fn, sims, rng,
                              add_root_noise, add_root_temp,
                              interpret=impl_t == "pallas_interpret")
+    # Pin the kernel choices on the FULL arena shape: a sliced segment must
+    # never flip to a different implementation than its sibling segments
+    # (the impls agree semantically but are only pinned byte-identical by
+    # CPU interpret tests, not across TPU kernel/XLA variants).
+    walk_pick = _pick_walk_impl(trees, walk_impl)
+    backup_pick = _pick_backup_impl(trees, walk_impl)
+
     rng_first, rng_rest = jax.random.split(rng)
     trees = simulate_step(
         env, trees, spec, eval_fn, rng_first, add_root_noise, add_root_temp,
-        root_adjust=True, walk_impl=walk_impl,
+        root_adjust=True, walk_impl=walk_pick, backup_impl=backup_pick,
         uniform_slot=jnp.int32(0) if fresh_tree else None,
         expand_root_only=fresh_tree,
     )
@@ -319,7 +331,8 @@ def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
             r, slot = xs
             trees = simulate_step(
                 env, trees, spec, eval_fn, r, add_root_noise, add_root_temp,
-                root_adjust=False, walk_impl=walk_impl, uniform_slot=slot,
+                root_adjust=False, walk_impl=walk_pick,
+                backup_impl=backup_pick, uniform_slot=slot,
             )
             return trees, None
 

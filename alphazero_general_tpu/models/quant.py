@@ -151,20 +151,26 @@ def _tower_calib_forward(variables, obs, depth: int):
     return jnp.stack(maxima)
 
 
+#: Module-level jit so per-iteration re-quantization in the Coach reuses the
+#: compiled calibration forward instead of re-tracing every call.
+_calib_forward_jit = jax.jit(_tower_calib_forward, static_argnames="depth")
+
+
 def quantize_resnet(model, variables, calib_obs) -> QuantResNet:
     """Build int8 inference parameters from trained flax ``variables``.
 
     ``model`` is the :class:`architectures.ResNet` instance (for depth/norm);
     ``calib_obs`` is a float32 observation batch [Bc, C, H, W] used to set
-    the static activation scales (use
-    :func:`calibration_observations` for a generic source).
+    the static activation scales. Calibrate on observations from the actual
+    self-play distribution when available (the Coach uses the previous
+    iteration's replay samples); :func:`calibration_observations` (random
+    playouts) is the cold-start fallback.
     """
     if model.norm != "batchnorm":
         raise ValueError("int8 quantization requires batchnorm running stats"
                          f" (norm={model.norm!r})")
     depth = model.depth
-    maxima = jax.jit(_tower_calib_forward, static_argnames="depth")(
-        variables, calib_obs, depth)
+    maxima = _calib_forward_jit(variables, calib_obs, depth)
     maxima = jnp.maximum(maxima, 1e-6)
 
     p, st = variables["params"], variables["batch_stats"]
@@ -242,14 +248,21 @@ def quant_apply(qp: QuantResNet, obs) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return log_pi, log_v
 
 
+#: (id(env), batch, moves) → jitted playout fn; envs are module singletons.
+_calib_run_cache: dict = {}
+
+
 def calibration_observations(env, rng, batch: int = 256, moves: int = 24):
-    """Observations from random playouts — a generic calibration set.
+    """Observations from random playouts — the cold-start calibration set.
 
     Plays ``moves`` uniformly-random (valid) moves from the initial position
     across ``batch`` parallel games with auto-reset, collecting every
     pre-move observation: [batch * moves, C, H, W] float32.
     """
     states = jax.vmap(lambda _: env.init())(jnp.arange(batch))
+    key = (id(env), batch, moves)
+    if key in _calib_run_cache:
+        return _calib_run_cache[key](states, rng)
 
     @jax.jit
     def run(states, rng):
@@ -271,4 +284,5 @@ def calibration_observations(env, rng, batch: int = 256, moves: int = 24):
         _, obs = jax.lax.scan(body, states, jax.random.split(rng, moves))
         return obs.reshape((-1,) + obs.shape[2:])
 
+    _calib_run_cache[key] = run
     return run(states, rng)

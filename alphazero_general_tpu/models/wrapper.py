@@ -128,6 +128,10 @@ class NNetWrapper:
 
         if not isinstance(self.model, ResNet):
             raise ValueError("quantized inference supports ResNet only")
+        if self.model.norm != "batchnorm":
+            # Checked before the (relatively expensive) calibration playouts.
+            raise ValueError("int8 quantization requires batchnorm running"
+                             f" stats (norm={self.model.norm!r})")
         if calib_obs is None:
             if rng is None:
                 rng = jax.random.PRNGKey(int(self.args.get("seed", 0)))

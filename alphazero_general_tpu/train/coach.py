@@ -111,6 +111,7 @@ class Coach:
 
         # Jitted programs, built lazily (first call compiles).
         self._chunk_fns = {}
+        self._quant_ok = None  # tri-state: unknown / usable / unsupported
         self._arena_fn = None
         self._baseline_fn = None
 
@@ -157,6 +158,21 @@ class Coach:
             return model.apply(variables, obs, train=False)
 
         return apply
+
+    def _quant_calib_obs(self, iteration: int, max_obs: int = 8192):
+        """Calibration observations for int8 re-quantization: a subsample of
+        the most recent iteration's replay samples (guided self-play
+        positions — the distribution inference actually sees). Returns None
+        when no replay exists yet (cold start → random playouts)."""
+        for it in range(iteration - 1, 0, -1):
+            data = self.store.load(it)
+            if data is not None and len(data[0]):
+                obs = data[0]
+                if len(obs) > max_obs:
+                    idx = self._np_rng.choice(len(obs), max_obs, replace=False)
+                    obs = obs[idx]
+                return jax.numpy.asarray(obs, jax.numpy.float32)
+        return None
 
     def _move_fns(self, quant: bool = False):
         """Separately-jitted fast/full/warmup move runners (host-side
@@ -241,13 +257,21 @@ class Coach:
 
         # Self-play uses the gated model (Coach.py:337-338).
         net = self.self_play_net if self.args.model_gating else self.train_net
-        quant = bool(self.args.get("quant_selfplay", False)) and not self.warmup
+        quant = (bool(self.args.get("quant_selfplay", False))
+                 and not self.warmup and self._quant_ok is not False)
         if quant:
             try:
                 # Re-quantize each iteration: weights/scales track training.
-                variables, _ = net.quantized_inference(rng=self._next_rng())
+                # Calibrate on the previous iteration's replay observations
+                # (the actual guided-play distribution — random playouts are
+                # only the cold-start fallback inside quantized_inference).
+                variables, _ = net.quantized_inference(
+                    calib_obs=self._quant_calib_obs(iteration),
+                    rng=self._next_rng())
+                self._quant_ok = True
             except ValueError:
                 quant = False
+                self._quant_ok = False  # architecture has no quantized path
         if not quant:
             variables = net.state.variables
         cfg, fns = self._move_fns(quant=quant)
