@@ -68,17 +68,15 @@ def _pick_backup_impl(trees, walk_impl: str) -> str:
     return "xla"
 
 
-def _batched_walk(trees, spec, tiebreaks, walk_impl: str):
+def _batched_walk(trees, spec, walk_impl: str):
     if walk_impl in ("pallas", "pallas_interpret"):
         from alphazero_general_tpu.ops.descend import descend_batched
 
         return descend_batched(
-            trees, spec, tiebreaks,
+            trees, spec,
             interpret=walk_impl == "pallas_interpret",
         )
-    return jax.vmap(
-        lambda t, tb: T.descend(t, spec, tb)
-    )(trees, tiebreaks)
+    return jax.vmap(lambda t: T.descend(t, spec))(trees)
 
 
 def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
@@ -102,18 +100,16 @@ def simulate_step(env, trees, spec: T.SearchSpec, eval_fn: EvalFn,
     — every game's leaf is the root; the walk is skipped entirely.
     """
     B = trees.n.shape[0]
-    A = trees.num_actions
-    rng_find, rng_noise = jax.random.split(rng)
+    # The walk draws no RNG (tie order lives in the stored priors —
+    # SearchSpec.tie_noise); rng splits once for the install-time draws.
+    _, rng_noise = jax.random.split(rng)
 
     leaf_e = leaf_valids = None
     if expand_root_only:
         trees, obs, leaf_e, leaf_valids = jax.vmap(
             lambda t: T.expand_root(env, t))(trees)
     else:
-        tiebreaks = jax.vmap(
-            lambda k: jax.random.uniform(k, (A,)) * 1e-6
-        )(jax.random.split(rng_find, B))
-        walk = _batched_walk(trees, spec, tiebreaks,
+        walk = _batched_walk(trees, spec,
                              _pick_walk_impl(trees, walk_impl))
         if uniform_slot is None:
             trees = jax.vmap(
@@ -223,17 +219,13 @@ def _simulate_step_t(env, tt, spec, eval_fn, rng, add_root_noise,
     from alphazero_general_tpu.ops.descend import descend_batched_t
 
     B = tt.leaf.shape[0]
-    A = tt.num_actions
-    rng_find, rng_noise = jax.random.split(rng)
+    _, rng_noise = jax.random.split(rng)  # same split as simulate_step
 
     if expand_root_only:
         tt, obs, leaf_e, leaf_valids = TT.expand_root_t(env, tt)
     else:
-        tiebreaks = jax.vmap(
-            lambda k: jax.random.uniform(k, (A,)) * 1e-6
-        )(jax.random.split(rng_find, B))
         node, action, child, depth, skip_walk, p_sel = descend_batched_t(
-            tt, spec, jnp.transpose(tiebreaks, (1, 0)), interpret=interpret)
+            tt, spec, interpret=interpret)
         tt, obs, leaf_e, leaf_valids = TT.apply_walk_observe_t(
             env, tt, node, action, child, depth, skip_walk, p_sel,
             uniform_slot)

@@ -79,6 +79,12 @@ class SearchSpec(NamedTuple):
     add_root_temp: bool = True
     num_players: int = 2
     has_draw: bool = True
+    # Tie-breaking noise amplitude, added to each node's stored prior row at
+    # installation (0 disables). The reference randomizes tie order by
+    # shuffling the children list once per expansion (MCTS.pyx:76-79);
+    # per-expansion prior noise reproduces that — a fixed random tie order
+    # per node — while keeping the walk free of per-sim [A]-noise draws.
+    tie_noise: float = 1e-6
 
     @property
     def value_size(self) -> int:
@@ -118,6 +124,12 @@ class Tree:
     # child's PUCT term and the FPU seen-policy as pure column math (one
     # [A, N] masked reduce per step instead of four); see _child_scores.
     edge_prior: jnp.ndarray  # float32[N]
+    # Per-node bitmask of actions whose child edge has been allocated,
+    # packed 32 actions per word (flat [N * ceil(A/32)] uint32). Lets the
+    # walk score the best UNVISITED action with pure [A] column math — the
+    # O(A*N) per-step compare-reduce that previously overlaid visited-child
+    # scores onto the action axis is gone (children score in [N] space).
+    expanded: jnp.ndarray  # uint32[N*W32]
     next_free: jnp.ndarray  # int32 scalar — next unallocated slot
     depth: jnp.ndarray  # int32 scalar — depth of last find_leaf
     max_depth: jnp.ndarray  # int32 scalar — max depth this search
@@ -151,6 +163,20 @@ _FLAT_MAX_ROW_SIZE = 128
 def _alloc_rows(rows: int, size: int, dtype, fill=0) -> jnp.ndarray:
     shape = (rows * size,) if size < _FLAT_MAX_ROW_SIZE else (rows, size)
     return jnp.full(shape, fill, dtype)
+
+
+def _words32(num_actions: int) -> int:
+    """Words per node row of the packed expanded-action bitmask."""
+    return (num_actions + 31) // 32
+
+
+def _expand_bits(row: jnp.ndarray, num_actions: int) -> jnp.ndarray:
+    """Unpack a [..., W32] uint32 bitmask row to [..., A] bool — pure
+    broadcast/shift ops, no gathers."""
+    W32 = row.shape[-1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (row[..., :, None] >> shifts) & jnp.uint32(1)  # [..., W32, 32]
+    return bits.reshape(row.shape[:-1] + (W32 * 32,))[..., :num_actions] > 0
 
 
 def _size_of(template_leaf) -> int:
@@ -281,6 +307,7 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
         e=_alloc_rows(rows, value_size, jnp.float32),
         player=jnp.zeros((rows,), jnp.int32),
         edge_prior=jnp.zeros((rows,), jnp.float32),
+        expanded=_alloc_rows(rows, _words32(A), jnp.uint32),
         next_free=jnp.int32(1),
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -330,56 +357,23 @@ def child_row(tree: Tree, node: jnp.ndarray):
     return child_idx, child_n, child_q
 
 
-def _child_scores(tree: Tree, node: jnp.ndarray, spec: SearchSpec,
-                  tiebreak: jnp.ndarray):
-    """PUCT scores of every action at ``node`` (MCTS.pyx:86-104).
-
-    ``tiebreak`` is a tiny uniform perturbation standing in for the
-    reference's child-list shuffle (MCTS.pyx:78-79).
-
-    Single-[A,N]-pass formulation: with ``edge_prior[c] == p[pa[c]]`` cached
-    per node, the visited-child PUCT term is pure column math, and the score
-    decomposes as ``score[a] = unvisited[a] + delta[child(a)]`` where
-
-        unvisited[a] = fpu + cpuct * p[a] * sqrt_n + tiebreak[a]
-        delta[c]     = (q[c] - fpu) + cpuct * edge_prior[c] * sqrt_n
-                                      * (1/(1+n[c]) - 1)
-
-    (algebraically ``q[c] + cpuct*p*sqrt_n/(1+n[c])`` when the child exists,
-    the plain FPU/explore term when it does not). Only ONE [A, N] masked
-    reduce (scattering ``delta`` onto the action axis) remains per walk step
-    — the previous formulation needed four (prior row, valids row, child_n,
-    child_q). The prior row doubles as the valid mask (INVALID_PRIOR
-    sentinel), and the FPU seen-policy is a column reduce over edge_prior.
-
-    Returns (scores [A], p_row [A]) — the masked prior row is reused by the
-    caller to record the chosen edge's prior (see :func:`descend`).
-    """
-    parent = tree.parent[:-1]
-    pa = tree.parent_action[:-1]
-    A = tree.num_actions
-    pv = _row(tree.prior, node, A)  # packed prior/valid row
-    valid = pv >= 0.0
-    p = jnp.where(valid, pv, 0.0)
-
-    is_child = parent == node  # [N-1]; allocated children always have n > 0
-    ep = tree.edge_prior[:-1]
-    seen_policy = jnp.sum(jnp.where(is_child, ep, 0.0))
-    fpu_value = tree.v[node] - spec.fpu_reduction * jnp.sqrt(seen_policy)
-    sqrt_n = jnp.sqrt(tree.n[node].astype(jnp.float32))
-
-    nf = tree.n[:-1].astype(jnp.float32)
-    delta = (tree.q[:-1] - fpu_value) + spec.cpuct * ep * sqrt_n * (
-        1.0 / (1.0 + nf) - 1.0)
-    iota_a = jax.lax.iota(jnp.int32, A)[:, None]
-    onehot = is_child[None, :] & (pa[None, :] == iota_a)  # [A, N-1]
-    delta_row = jnp.sum(jnp.where(onehot, delta[None, :], 0.0), axis=1)
-    scores = fpu_value + spec.cpuct * p * sqrt_n + tiebreak + delta_row
-    return jnp.where(valid, scores, -jnp.inf), p
-
-
-def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
+def descend(tree: Tree, spec: SearchSpec):
     """Read-only PUCT walk from the root (MCTS.pyx:208-217) for ONE game.
+
+    Per step the candidates split into two sets scored WITHOUT any [A, N]
+    cross-term (the expanded-action bitmask keeps them disjoint):
+
+      * visited children — ``q[c] + cpuct * edge_prior[c] * sqrt_n /
+        (1 + n[c])`` — pure [N] column math over parent links;
+      * unexpanded valid actions — ``fpu + cpuct * p[a] * sqrt_n`` over the
+        node's stored prior row masked by ``~expanded`` — pure [A] math.
+        (MCTS.pyx:86-87: value term is fpu for n == 0, q otherwise.)
+
+    The max of the two argmaxes is the reference's best_child. Random tie
+    order comes from the per-expansion prior noise (SearchSpec.tie_noise),
+    so the walk draws no RNG at all. Previous formulations overlaid child
+    scores onto the action axis with an O(A*N) masked compare-reduce per
+    step — at hnefatafl scale (A=2420) that was ~2/3 of all search time.
 
     Returns (node, action, child, depth, skip_walk, p_sel): ``node`` is the
     leaf's parent when a new edge must be allocated (child == UNVISITED) or
@@ -389,38 +383,58 @@ def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
     selects, not tree copies. The batched Pallas twin lives in ops/descend.py.
     """
     A = tree.num_actions
+    W32 = _words32(A)
     V = tree.value_size
     eany = jnp.any(tree.e.reshape(-1, V) > 0, axis=1)  # [N] terminal flags
     root_unexpanded = tree.n[ROOT] == 0
     skip_walk = root_unexpanded | eany[ROOT]
 
+    parent = tree.parent[:-1]  # [N-1] — exclude the dummy sink
+    pa = tree.parent_action[:-1]
+    ep = tree.edge_prior[:-1]
+    nf = tree.n[:-1].astype(jnp.float32)
+    qc = tree.q[:-1]
+    eany_c = eany[:-1]
+    iota_n = jax.lax.iota(jnp.int32, parent.shape[0])
+    iota_a = jax.lax.iota(jnp.int32, A)
+
     def cond(carry):
         _node, _action, _child, _depth, done, _p = carry
         return ~done
 
-    iota_n = jax.lax.iota(jnp.int32, tree.parent.shape[0] - 1)
-    iota_a = jax.lax.iota(jnp.int32, A)
-
     def body(carry):
         node, _action, _child, depth, _done, _p = carry
-        scores, p_row = _child_scores(tree, node, spec, tiebreak)
-        action = jnp.argmax(scores).astype(jnp.int32)
-        p_sel = jnp.sum(jnp.where(iota_a == action, p_row, 0.0))
-        # The chosen edge's child is derived AFTER the argmax with one [N]
-        # pass over the parent links (deriving the whole [A] child row during
-        # scoring would double the walk's compare-reduce work).
-        sel = (tree.parent[:-1] == node) & (tree.parent_action[:-1] == action)
-        exists = jnp.any(sel)
-        child = jnp.where(
-            exists, jnp.sum(jnp.where(sel, iota_n, 0)), UNVISITED
-        ).astype(jnp.int32)
-        # Existing children always have n > 0 (a node is visited by the same
-        # simulation that allocates it), so the walk stops at an unallocated
-        # edge or a terminal child (the reference's n>0 / e.any() conditions,
-        # MCTS.pyx:213).
-        child_terminal = exists & jnp.any(sel & eany[:-1])
-        done = ~exists | child_terminal
-        next_node = jnp.where(done & ~exists, node, child)
+        is_child = parent == node  # allocated children always have n > 0
+        seen_policy = jnp.sum(jnp.where(is_child, ep, 0.0))
+        fpu_value = tree.v[node] - spec.fpu_reduction * jnp.sqrt(seen_policy)
+        sqrt_n = jnp.sqrt(tree.n[node].astype(jnp.float32))
+
+        # Visited children, in node space (MCTS.pyx:86-87 n>0 branch).
+        score_c = qc + spec.cpuct * ep * sqrt_n / (1.0 + nf)
+        score_c = jnp.where(is_child, score_c, -jnp.inf)
+        c_star = jnp.argmax(score_c).astype(jnp.int32)
+        best_c = jnp.max(score_c)
+        sel_c = iota_n == c_star  # scalar reads via [N] one-hot sums —
+        a_c = jnp.sum(jnp.where(sel_c, pa, 0))      # fancy scalar gathers
+        ep_c = jnp.sum(jnp.where(sel_c, ep, 0.0))   # lower to slow paths
+        term_c = jnp.any(sel_c & eany_c)
+
+        # Best unexpanded valid action, in action space.
+        pv = _row(tree.prior, node, A)  # packed prior/valid row
+        xrow = _row(tree.expanded, node, W32)
+        valid_u = (pv >= 0.0) & ~_expand_bits(xrow, A)
+        u = jnp.where(valid_u, fpu_value + spec.cpuct * pv * sqrt_n, -jnp.inf)
+        a_u = jnp.argmax(u).astype(jnp.int32)
+        best_u = jnp.max(u)
+        pv_u = jnp.sum(jnp.where((iota_a == a_u) & valid_u, pv, 0.0))
+
+        child_wins = best_c > best_u  # exact tie → unexpanded action
+        action = jnp.where(child_wins, a_c, a_u).astype(jnp.int32)
+        child = jnp.where(child_wins, c_star, UNVISITED).astype(jnp.int32)
+        p_sel = jnp.where(child_wins, ep_c, pv_u)
+        # Stop at an unallocated edge or a terminal child (MCTS.pyx:213).
+        done = jnp.where(child_wins, term_c, True)
+        next_node = jnp.where(child_wins, c_star, node)
         return next_node, action, child, depth + 1, done, p_sel
 
     node, action, child, depth, _, p_sel = jax.lax.while_loop(
@@ -430,6 +444,27 @@ def descend(tree: Tree, spec: SearchSpec, tiebreak: jnp.ndarray):
     )
     depth = jnp.where(skip_walk, 0, depth)
     return node, action, child, depth, skip_walk, p_sel
+
+
+def _set_expanded_bit(expanded: jnp.ndarray, node, action, active,
+                      num_actions: int) -> jnp.ndarray:
+    """Set bit (node, action) of the packed expanded mask where ``active`` —
+    one fused one-hot select pass (no scatter; O(N*W32) elements ≈ A/32 of
+    one walk-step's former cost, once per sim). Handles both row-array
+    layouts (flat [N*W32] and 2-D [N, W32] — see _alloc_rows).
+    """
+    W32 = _words32(num_actions)
+    action = action.astype(jnp.uint32)
+    word = (action >> 5).astype(jnp.int32)
+    bit = jnp.uint32(1) << (action & jnp.uint32(31))
+    if expanded.ndim == 2:
+        onehot = ((jax.lax.iota(jnp.int32, expanded.shape[0])[:, None]
+                   == node)
+                  & (jax.lax.iota(jnp.int32, W32)[None, :] == word))
+    else:
+        onehot = jax.lax.iota(jnp.int32, expanded.shape[0]) \
+            == node * W32 + word
+    return jnp.where(onehot & active, expanded | bit, expanded)
 
 
 def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
@@ -472,6 +507,8 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
             parent=tree.parent.at[slot].set(node),
             parent_action=tree.parent_action.at[slot].set(action),
             edge_prior=tree.edge_prior.at[slot].set(p_sel),
+            expanded=_set_expanded_bit(tree.expanded, node, action,
+                                       need_alloc, tree.num_actions),
             next_free=tree.next_free + need_alloc.astype(jnp.int32),
         )
         leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
@@ -507,6 +544,8 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
         node_state=_scatter_state_uniform(tree.node_state, child_state, slot),
         parent=tree.parent.at[alloc_row].set(node),
         parent_action=tree.parent_action.at[alloc_row].set(action),
+        expanded=_set_expanded_bit(tree.expanded, node, action, need_alloc,
+                                   tree.num_actions),
         # Unconditional at the uniform slot: non-allocating games leave junk
         # there, unreachable because their parent row stays UNVISITED.
         edge_prior=tree.edge_prior.at[slot].set(p_sel),
@@ -579,18 +618,19 @@ def expand_root(env, tree: Tree):
     return tree, env.observation(root_state), win_vec, valid_vec
 
 
-def find_leaf(env, tree: Tree, spec: SearchSpec, rng: jnp.ndarray) -> Tree:
+def find_leaf(env, tree: Tree, spec: SearchSpec,
+              rng: jnp.ndarray = None) -> Tree:
     """Walk + allocate + expand for ONE game (MCTS.pyx:208-228): the tree is
     returned with ``tree.leaf`` set; the caller evaluates the leaf observation
     and calls :func:`process_results`.
 
-    One tiebreak draw per walk, hoisted out of the loop body: ties break
-    randomly (the reference shuffles children at expansion, MCTS.pyx:78-79)
-    without an RNG call per depth step.
+    The walk itself is deterministic — random tie order is fixed per node
+    by the prior noise installed at expansion (the reference shuffles
+    children at expansion, MCTS.pyx:78-79). ``rng`` is accepted and ignored
+    for API stability.
     """
-    tiebreak = jax.random.uniform(rng, (tree.num_actions,)) * 1e-6
-    node, action, child, depth, skip_walk, p_sel = descend(tree, spec,
-                                                           tiebreak)
+    del rng
+    node, action, child, depth, skip_walk, p_sel = descend(tree, spec)
     return apply_walk(env, tree, node, action, child, depth, skip_walk, p_sel)
 
 
@@ -637,6 +677,7 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
     leaf = tree.leaf
     A = tree.num_actions
     DUMMY = jnp.int32(tree.dummy)
+    rng, rng_tie = jax.random.split(rng)
 
     valids = (leaf_valids if leaf_valids is not None
               else _row(tree.valids, leaf, A))
@@ -672,6 +713,14 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
         new_prior = jnp.where(is_root, with_root_adjust(masked), masked)
     else:
         new_prior = masked
+    # Per-expansion tie noise: the reference shuffles the children list once
+    # per expansion (MCTS.pyx:76-79); tiny additive prior noise fixes an
+    # equivalent random tie order for this node for the whole search (and is
+    # captured into edge_prior with the rest of the prior — the same noised
+    # value scores the action before AND after its child is allocated).
+    if spec.tie_noise:
+        tie = jax.random.uniform(rng_tie, (A,)) * spec.tie_noise
+        new_prior = jnp.where(valids, new_prior + tie, new_prior)
     # Pack the valid mask into the stored row (INVALID_PRIOR sentinel) so the
     # walk needs only this one row read per step.
     new_prior = jnp.where(valids, new_prior, jnp.float32(INVALID_PRIOR))
@@ -776,6 +825,7 @@ def slice_batched_rows(trees: Tree, n: int) -> Tree:
         valids=cut(trees.valids), prior=cut(trees.prior), n=cut(trees.n),
         q=cut(trees.q), v=cut(trees.v), e=cut(trees.e),
         player=cut(trees.player), edge_prior=cut(trees.edge_prior),
+        expanded=cut(trees.expanded),
     )
 
 
@@ -804,6 +854,7 @@ def merge_batched_rows(full: Tree, part: Tree) -> Tree:
         n=m(full.n, part.n), q=m(full.q, part.q), v=m(full.v, part.v),
         e=m(full.e, part.e), player=m(full.player, part.player),
         edge_prior=m(full.edge_prior, part.edge_prior),
+        expanded=m(full.expanded, part.expanded),
         next_free=part.next_free, depth=part.depth,
         max_depth=part.max_depth, leaf=part.leaf,
     )
@@ -893,6 +944,7 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
         e=live(take_rows(tree.e, V), 0.0, V),
         player=live(tree.player[gather_idx], 0),
         edge_prior=live(tree.edge_prior[gather_idx], 0.0).at[ROOT].set(0.0),
+        expanded=live(take_rows(tree.expanded, _words32(A)), 0, _words32(A)),
         next_free=count,
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),

@@ -64,6 +64,7 @@ class TreeT:
     eany: jnp.ndarray  # float32[N, B] — 1.0 where the node is terminal
     player: jnp.ndarray  # int32[N, B]
     edge_prior: jnp.ndarray  # float32[N, B] — see tree.Tree.edge_prior
+    expanded: jnp.ndarray  # uint32[N*W32, B] — see tree.Tree.expanded
     next_free: jnp.ndarray  # int32[B]
     depth: jnp.ndarray  # int32[B]
     max_depth: jnp.ndarray  # int32[B]
@@ -100,6 +101,7 @@ def tree_to_tree_t(trees: Tree) -> TreeT:
         eany=t(eany.astype(jnp.float32)),
         player=t(trees.player),
         edge_prior=t(trees.edge_prior),
+        expanded=t(trees.expanded),
         next_free=trees.next_free,
         depth=trees.depth,
         max_depth=trees.max_depth,
@@ -124,6 +126,7 @@ def tree_t_to_tree(tt: TreeT) -> Tree:
         e=t(tt.e),
         player=t(tt.player),
         edge_prior=t(tt.edge_prior),
+        expanded=t(tt.expanded),
         next_free=tt.next_free,
         depth=tt.depth,
         max_depth=tt.max_depth,
@@ -155,6 +158,7 @@ def slice_rows_t(tt: TreeT, n: int) -> TreeT:
         valids=cut(tt.valids), prior=cut(tt.prior), n=cut(tt.n),
         q=cut(tt.q), v=cut(tt.v), e=cut(tt.e), eany=cut(tt.eany),
         player=cut(tt.player), edge_prior=cut(tt.edge_prior),
+        expanded=cut(tt.expanded),
     )
 
 
@@ -175,9 +179,24 @@ def merge_rows_t(full: TreeT, part: TreeT) -> TreeT:
         e=m(full.e, part.e), eany=m(full.eany, part.eany),
         player=m(full.player, part.player),
         edge_prior=m(full.edge_prior, part.edge_prior),
+        expanded=m(full.expanded, part.expanded),
         next_free=part.next_free, depth=part.depth,
         max_depth=part.max_depth, leaf=part.leaf,
     )
+
+
+def _set_expanded_bit_t(expanded: jnp.ndarray, node, action, active,
+                        num_actions: int) -> jnp.ndarray:
+    """Game-minor twin of tree._set_expanded_bit: one fused one-hot select
+    over the [N*W32, B] mask."""
+    W32 = T._words32(num_actions)
+    action = action.astype(jnp.uint32)
+    idx = node * W32 + (action >> 5).astype(jnp.int32)  # [B]
+    bit = jnp.uint32(1) << (action & jnp.uint32(31))  # [B]
+    rows = expanded.shape[0]
+    onehot = jax.lax.iota(jnp.int32, rows)[:, None] == idx[None, :]
+    return jnp.where(onehot & active[None, :],
+                     expanded | bit[None, :], expanded)
 
 
 def _dus_rows(buf: jnp.ndarray, start_row, block: jnp.ndarray) -> jnp.ndarray:
@@ -305,6 +324,8 @@ def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
         parent_action=_dus_rows(
             tt.parent_action, slot,
             jnp.where(need_alloc[None, :], action[None, :], old_a)),
+        expanded=_set_expanded_bit_t(tt.expanded, node, action, need_alloc,
+                                     tt.num_actions),
         # Unconditional: non-allocating games leave junk at an unreachable
         # slot (their parent row stays UNVISITED).
         edge_prior=_dus_rows(tt.edge_prior, slot, p_sel[None, :]),
@@ -339,6 +360,12 @@ def install_prior_t(tt: TreeT, pi: jnp.ndarray, spec: SearchSpec,
     if add_root_temp is None:
         add_root_temp = spec.add_root_temp
     A = tt.num_actions
+    # Same per-game split discipline as tree.install_prior: key → (noise
+    # key, tie key) — the Dirichlet/tie draws match the batch-major path
+    # bit-for-bit.
+    split_keys = jax.vmap(jax.random.split)(rng_keys)  # [B, 2, 2]
+    rng_keys = split_keys[:, 0]
+    tie_keys = split_keys[:, 1]
     valids = leaf_valids  # [B, A] bool
     masked = jnp.where(valids, pi, 0.0)
     norm = jnp.sum(masked, axis=-1, keepdims=True)
@@ -370,6 +397,11 @@ def install_prior_t(tt: TreeT, pi: jnp.ndarray, spec: SearchSpec,
         new_prior = jnp.where(is_root, adjusted, masked)
     else:
         new_prior = masked
+    # Per-expansion tie noise (see tree.install_prior).
+    if spec.tie_noise:
+        tie = jax.vmap(lambda k: jax.random.uniform(k, (A,)))(tie_keys)
+        new_prior = jnp.where(valids, new_prior + tie * spec.tie_noise,
+                              new_prior)
     # Pack the valid mask into the stored row (tree.INVALID_PRIOR sentinel).
     new_prior = jnp.where(valids, new_prior, jnp.float32(T.INVALID_PRIOR))
 

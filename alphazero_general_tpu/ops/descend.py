@@ -9,19 +9,16 @@ layout ([N, A, LANES] — games ride the 128-wide lane dimension), per-lane
 dynamic node indexing is expressed as masked reductions over the node axis,
 and the while loop runs entirely on-chip.
 
-Per-step work is TWO [N, A, LANES] passes (the mcts/tree.py `_child_scores`
-docstring derives the decomposition):
-
-  * the packed prior row at the current node (valid mask folded in as the
-    INVALID_PRIOR sentinel — no separate valids block exists in VMEM);
-  * one masked scatter of the per-child ``delta`` column onto the action
-    axis (child links derived from parent/parent_action; the cached
-    ``edge_prior`` column makes visited-child PUCT terms and the FPU
-    seen-policy pure [N, LANES] column math).
+Per-step work is ONE [N, A, LANES] pass (the prior-row read) plus [N, LANES]
+and [A, LANES] column math (see mcts/tree.py `descend` for the scoring
+decomposition): visited children score in node space over parent links /
+edge priors, the best UNexpanded action scores over the packed prior row
+masked by the expanded-action bitmask. No [A, N] cross-term remains.
 
 Semantics are identical to `descend` (MCTS.pyx:208-217): PUCT with
 FPU-reduction from seen policy, stop at an unallocated edge or terminal
-child, per-game uniform tiebreak.
+child; random tie order lives in the stored prior rows
+(SearchSpec.tie_noise), so the kernel draws no randomness.
 """
 
 from __future__ import annotations
@@ -33,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from alphazero_general_tpu.mcts.tree import SearchSpec
+from alphazero_general_tpu.mcts.tree import SearchSpec, _words32
 
 LANES = 128
 NEG_INF = -3.0e38
@@ -41,13 +38,13 @@ UNVISITED = -1  # plain int: jnp scalars would be captured consts in the kernel
 
 
 def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
-                    v_ref, ep_ref, eany_ref, tiebreak_ref,
+                    v_ref, ep_ref, eany_ref, xb_ref,
                     out_ref, psel_ref,
                     *, spec: SearchSpec, num_nodes: int, num_actions: int):
     N, A = num_nodes, num_actions
+    W32 = _words32(A)
     node_iota1 = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
     node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 0)
-    act_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 1)
     act_iota1 = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
 
     n_all = n_ref[...]  # [N, LANES] i32
@@ -56,12 +53,14 @@ def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
     v_all = v_ref[...]  # [N, LANES] f32
     ep_all = ep_ref[...]  # [N, LANES] f32 edge priors
     eany_all = eany_ref[...]  # [N, LANES] f32 (1.0 = terminal)
-    tiebreak = tiebreak_ref[...]  # [A, LANES]
     parent_all = parent_ref[...]  # [N, LANES] i32
     pa_all = pa_ref[...]  # [N, LANES] i32
+    xb_all = xb_ref[...].reshape(N, W32, LANES)  # [N, W32, LANES] i32 bits
     # The dummy write sink (last row) accumulates junk parent/parent_action
     # values from masked scatters; it must never be derived as a child.
     not_dummy1 = node_iota1 < (N - 1)
+    nodew_iota = jax.lax.broadcasted_iota(jnp.int32, (N, W32, LANES), 0)
+    shift_iota = jax.lax.broadcasted_iota(jnp.int32, (W32, 32, LANES), 1)
 
     root_n = n_all[0]  # [LANES]
     root_eany = eany_all[0]
@@ -88,48 +87,50 @@ def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
             jnp.maximum(seen_policy, 0.0))
         sqrt_n = jnp.sqrt(cur_n)
 
-        # Per-child score delta vs the unvisited baseline (see
-        # tree._child_scores): column math only.
-        delta = (q_all - fpu_value) + spec.cpuct * ep_all * sqrt_n * (
-            1.0 / (1.0 + n_all_f) - 1.0)  # [N, LANES]
-        selc = childmask[:, None, :] & (pa_all[:, None, :] == act_iota2)
-        delta_row = jnp.sum(jnp.where(selc, delta[:, None, :], 0.0),
-                            axis=0)  # [A, LANES]
+        # Visited children, scored in node space (MCTS.pyx:86-87 n>0 arm).
+        score_c = q_all + spec.cpuct * ep_all * sqrt_n / (1.0 + n_all_f)
+        score_c = jnp.where(childmask, score_c, NEG_INF)
+        c_star = jnp.argmax(score_c, axis=0).astype(jnp.int32)[None]
+        best_c = jnp.max(score_c, axis=0, keepdims=True)  # [1, LANES]
+        selc = (node_iota1 == c_star)
+        selcf = selc.astype(jnp.float32)
+        a_c = jnp.sum(jnp.where(selc, pa_all, 0), axis=0, keepdims=True)
+        ep_c = jnp.sum(ep_all * selcf, axis=0, keepdims=True)
+        term_c = jnp.sum(eany_all * selcf, axis=0, keepdims=True) > 0.5
 
+        # Prior row of the current node — the ONE [N, A, LANES] pass.
         sel3f = (node_iota2 == node[None]).astype(jnp.float32)
         pv_row = jnp.sum(pv_ref[...] * sel3f, axis=0)  # [A, LANES]
-        valid = pv_row >= 0.0
-        p_row = jnp.where(valid, pv_row, 0.0)
+        # Expanded-action bits of the current node.
+        selw = (nodew_iota == node[:, None, :])
+        xrow = jnp.sum(jnp.where(selw, xb_all, 0), axis=0)  # [W32, LANES]
+        bits = jax.lax.shift_right_logical(
+            jnp.broadcast_to(xrow[:, None, :], (W32, 32, LANES)),
+            shift_iota) & 1
+        unexpanded = bits.reshape(W32 * 32, LANES)[:A] == 0  # [A, LANES]
 
-        scores = fpu_value + spec.cpuct * p_row * sqrt_n + tiebreak + delta_row
-        scores = jnp.where(valid, scores, NEG_INF)
+        valid_u = (pv_row >= 0.0) & unexpanded
+        u = jnp.where(valid_u,
+                      fpu_value + spec.cpuct * pv_row * sqrt_n, NEG_INF)
+        a_u = jnp.argmax(u, axis=0).astype(jnp.int32)[None]  # [1, LANES]
+        best_u = jnp.max(u, axis=0, keepdims=True)
+        pv_u = jnp.sum(jnp.where((act_iota1 == a_u) & valid_u, pv_row, 0.0),
+                       axis=0, keepdims=True)
 
-        best = jnp.argmax(scores, axis=0).astype(jnp.int32)[None]  # [1,LANES]
-        new_p_sel = jnp.sum(jnp.where(act_iota1 == best, p_row, 0.0),
-                            axis=0, keepdims=True)  # [1, LANES]
-        # The chosen edge's child via one [N, LANES] pass over parent links.
-        selb = (childmask & (pa_all == best)).astype(jnp.float32)
-        best_exists = jnp.sum(selb, axis=0, keepdims=True) > 0.0
-        best_child = jnp.where(
-            best_exists,
-            jnp.sum(node_iota1.astype(jnp.float32) * selb, axis=0,
-                    keepdims=True).astype(jnp.int32),
-            UNVISITED,
-        )
-        best_terminal = best_exists & (
-            jnp.sum(eany_all * selb, axis=0, keepdims=True) > 0.5
-        )
+        child_wins = best_c > best_u  # exact tie → unexpanded action
+        new_action = jnp.where(child_wins, a_c, a_u)
+        new_child = jnp.where(child_wins, c_star, UNVISITED)
+        new_p_sel = jnp.where(child_wins, ep_c, pv_u)
+        # int32 select — Mosaic rejects i1-vector selects with scalar arms.
+        step_done = jnp.where(child_wins, term_c.astype(jnp.int32), 1)
+        new_node = jnp.where(child_wins, c_star, node)
 
-        step_done = jnp.logical_not(best_exists) | best_terminal
-        new_node = jnp.where(
-            step_done & jnp.logical_not(best_exists), node, best_child
-        )
         node = jnp.where(done, node, new_node)
-        action = jnp.where(done, action, best)
-        child = jnp.where(done, child, best_child)
+        action = jnp.where(done, action, new_action)
+        child = jnp.where(done, child, new_child)
         depth = jnp.where(done, depth, depth + 1)
         p_sel = jnp.where(done, p_sel, new_p_sel)
-        done_i = jnp.maximum(done_i, step_done.astype(jnp.int32))
+        done_i = jnp.maximum(done_i, step_done)
         return node, action, child, depth, done_i, p_sel
 
     zeros = jnp.zeros((1, LANES), jnp.int32)
@@ -146,10 +147,11 @@ def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
 
 
 def _call_descend(parent, parent_action, pv, n, q, v, edge_prior, eany,
-                  tiebreak, spec: SearchSpec, interpret: bool):
+                  expanded, spec: SearchSpec, interpret: bool):
     """Shared pallas_call: all inputs already game-minor ([N, B] columns,
-    [N, A, B] prior block, [A, B] tiebreak)."""
+    [N, A, B] prior block, [N*W32, B] expanded bits as int32)."""
     N, A, B = pv.shape
+    W32 = _words32(A)
     assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
 
     grid = (B // LANES,)
@@ -161,8 +163,8 @@ def _call_descend(parent, parent_action, pv, n, q, v, edge_prior, eany,
         return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
                             memory_space=pltpu.VMEM)
 
-    def nb():
-        return pl.BlockSpec((N, LANES), lambda g: (0, g),
+    def nb(rows=N):
+        return pl.BlockSpec((rows, LANES), lambda g: (0, g),
                             memory_space=pltpu.VMEM)
 
     out, psel = pl.pallas_call(
@@ -177,8 +179,7 @@ def _call_descend(parent, parent_action, pv, n, q, v, edge_prior, eany,
             nb(),   # v
             nb(),   # edge_prior
             nb(),   # eany
-            pl.BlockSpec((A, LANES), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),  # tiebreak
+            nb(N * W32),  # expanded bits
         ],
         out_specs=(
             pl.BlockSpec((4, LANES), lambda g: (0, g),
@@ -191,13 +192,19 @@ def _call_descend(parent, parent_action, pv, n, q, v, edge_prior, eany,
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         interpret=interpret,
-    )(parent, parent_action, pv, n, q, v, edge_prior, eany, tiebreak)
+    )(parent, parent_action, pv, n, q, v, edge_prior, eany, expanded)
     return out[0], out[1], out[2], out[3], psel[0]
+
+
+def _bits_i32(expanded: jnp.ndarray) -> jnp.ndarray:
+    """uint32 bitmask → int32 for the kernel (Mosaic-friendly dtype; all
+    bit ops use logical shifts so the sign bit is inert)."""
+    return jax.lax.bitcast_convert_type(expanded, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def descend_batched_pallas(parent, parent_action, pv, n, q, v, edge_prior,
-                           eany, tiebreak, spec: SearchSpec,
+                           eany, expanded, spec: SearchSpec,
                            interpret: bool = False):
     """Batched walk. Inputs are the batched tree arrays (batch-major, as held
     by the vmapped Tree) — transposed here to game-minor layout.
@@ -212,25 +219,24 @@ def descend_batched_pallas(parent, parent_action, pv, n, q, v, edge_prior,
     vvt = jnp.transpose(v, (1, 0))
     ept = jnp.transpose(edge_prior, (1, 0))
     et = jnp.transpose(eany.astype(jnp.float32), (1, 0))
-    tt = jnp.transpose(tiebreak, (1, 0))
-    return _call_descend(part, pat, pt, nt, qt, vvt, ept, et, tt, spec,
+    xt = jnp.transpose(_bits_i32(expanded), (1, 0))
+    return _call_descend(part, pat, pt, nt, qt, vvt, ept, et, xt, spec,
                          interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def descend_batched_pallas_t(parent, parent_action, pv, n, q, v, edge_prior,
-                             eany, tiebreak, spec: SearchSpec,
+                             eany, expanded, spec: SearchSpec,
                              interpret: bool = False):
     """Game-minor twin of :func:`descend_batched_pallas`: inputs are ALREADY
     [N, B] columns / [N, A, B] blocks (the persistent TreeT layout), so no
-    per-sim transposes happen at all. ``tiebreak`` is [A, B]."""
+    per-sim transposes happen at all."""
     return _call_descend(parent, parent_action, pv, n, q, v, edge_prior,
-                         eany, tiebreak, spec, interpret)
+                         eany, _bits_i32(expanded), spec, interpret)
 
 
-def descend_batched_t(tt, spec: SearchSpec, tiebreak_t,
-                      interpret: bool = False):
-    """Walk on a game-minor TreeT; ``tiebreak_t`` is [A, B].
+def descend_batched_t(tt, spec: SearchSpec, interpret: bool = False):
+    """Walk on a game-minor TreeT.
 
     Returns (node, action, child, depth, skip_walk, p_sel)."""
     N = tt.n.shape[0]
@@ -238,7 +244,7 @@ def descend_batched_t(tt, spec: SearchSpec, tiebreak_t,
     node, action, child, depth, p_sel = descend_batched_pallas_t(
         tt.parent, tt.parent_action,
         tt.prior.reshape(N, A, -1),
-        tt.n, tt.q, tt.v, tt.edge_prior, tt.eany, tiebreak_t,
+        tt.n, tt.q, tt.v, tt.edge_prior, tt.eany, tt.expanded,
         spec, interpret=interpret,
     )
     skip_walk = (tt.n[0] == 0) | (tt.eany[0] > 0.5)
@@ -246,7 +252,7 @@ def descend_batched_t(tt, spec: SearchSpec, tiebreak_t,
     return node, action, child, depth, skip_walk, p_sel
 
 
-def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
+def descend_batched(trees, spec: SearchSpec, interpret: bool = False):
     """Walk every game's tree; trees is a vmapped Tree pytree [B, ...].
 
     Returns (node, action, child, depth, skip_walk, p_sel) like
@@ -262,7 +268,7 @@ def descend_batched(trees, spec: SearchSpec, tiebreak, interpret: bool = False):
     node, action, child, depth, p_sel = descend_batched_pallas(
         trees.parent, trees.parent_action,
         trees.prior.reshape(B, N, A),
-        trees.n, trees.q, trees.v, trees.edge_prior, eany, tiebreak,
+        trees.n, trees.q, trees.v, trees.edge_prior, eany, trees.expanded,
         spec, interpret=interpret,
     )
     skip_walk = (trees.n[:, 0] == 0) | eany[:, 0]

@@ -84,10 +84,9 @@ def test_walk_outputs_match_directly():
     # Grow trees a bit first (XLA path).
     trees = S.search(env, trees, SPEC, pseudo_net, 30, jax.random.PRNGKey(1),
                      walk_impl="xla")
-    tiebreaks = jnp.zeros((B, env.ACTION_SIZE))
 
-    xla = jax.vmap(lambda t, tb: T.descend(t, SPEC, tb))(trees, tiebreaks)
-    pal = S._batched_walk(trees, SPEC, tiebreaks, "pallas_interpret")
+    xla = jax.vmap(lambda t: T.descend(t, SPEC))(trees)
+    pal = S._batched_walk(trees, SPEC, "pallas_interpret")
     for a, b, name in zip(xla, pal, ["node", "action", "child", "depth",
                                      "skip", "p_sel"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)

@@ -154,6 +154,7 @@ SPEC = T.SearchSpec(
     cpuct=1.25, fpu_reduction=0.2, min_discount=0.8,
     add_root_noise=False, add_root_temp=False,
     num_players=2, has_draw=True,
+    tie_noise=0.0,  # mirror is noise-free; pseudo-net produces no ties
 )
 
 

