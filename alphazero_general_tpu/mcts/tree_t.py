@@ -52,7 +52,10 @@ class TreeT:
     lowered to a scalar path costing ~0.19 ms/sim at B=2048.
     """
 
-    node_state: object  # game-minor [rows*S, B] leaves
+    node_state: object  # game-minor [rows, S, B] leaves (3-D: the per-sim
+    # one-hot row contraction reads [N, S, B] directly — reshaping a flat
+    # [rows*S, B] buffer per sim materializes a tile-relayout copy, measured
+    # ~45% of all connect4 tree-op device time)
     parent: jnp.ndarray  # int32[N, B]
     parent_action: jnp.ndarray  # int32[N, B]
     valids: jnp.ndarray  # float32[N*A, B] (0/1 — the walk kernel's dtype)
@@ -87,9 +90,10 @@ def tree_to_tree_t(trees: Tree) -> TreeT:
     N = trees.n.shape[1]
     V = trees.value_size
     t = lambda x: jnp.transpose(x, (1, 0))  # noqa: E731
+    t3 = lambda x: t(x).reshape(N, x.shape[1] // N, B)  # noqa: E731
     eany = jnp.any(trees.e.reshape(B, N, V) > 0, axis=-1)
     return TreeT(
-        node_state=jax.tree_util.tree_map(t, trees.node_state),
+        node_state=jax.tree_util.tree_map(t3, trees.node_state),
         parent=t(trees.parent),
         parent_action=t(trees.parent_action),
         valids=t(trees.valids.astype(jnp.float32)),
@@ -114,8 +118,9 @@ def tree_to_tree_t(trees: Tree) -> TreeT:
 def tree_t_to_tree(tt: TreeT) -> Tree:
     """Inverse of :func:`tree_to_tree_t` (drops the derived ``eany``)."""
     t = lambda x: jnp.transpose(x, (1, 0))  # noqa: E731
+    t3 = lambda x: t(x.reshape(-1, x.shape[-1]))  # noqa: E731
     return Tree(
-        node_state=jax.tree_util.tree_map(t, tt.node_state),
+        node_state=jax.tree_util.tree_map(t3, tt.node_state),
         parent=t(tt.parent),
         parent_action=t(tt.parent_action),
         valids=t(tt.valids) > 0.5,
@@ -166,8 +171,8 @@ def merge_rows_t(full: TreeT, part: TreeT) -> TreeT:
     """Write a searched slice back over the full buffers (rows beyond the
     slice are untouched by construction)."""
     def m(f, p):
-        return jax.lax.dynamic_update_slice(f, p.astype(f.dtype),
-                                            (jnp.int32(0), jnp.int32(0)))
+        start = (jnp.int32(0),) * p.ndim
+        return jax.lax.dynamic_update_slice(f, p.astype(f.dtype), start)
 
     return full.replace(
         node_state=jax.tree_util.tree_map(m, full.node_state,
@@ -218,9 +223,8 @@ def _gather_states(env, node_state, idx: jnp.ndarray):
     B = idx.shape[0]
 
     def pick(buf, t):
-        S = _size_of(t)
-        N = buf.shape[0] // S
-        b3 = buf.reshape(N, S, B)
+        b3 = buf  # [N, S, B] — stored 3-D, no per-sim reshape/relayout
+        N = b3.shape[0]
         sel = (jax.lax.iota(jnp.int32, N)[:, None] == idx[None, :])  # [N, B]
         sel = sel[:, None, :]
         if buf.dtype == jnp.bool_:
@@ -239,9 +243,9 @@ def _scatter_states_uniform(node_state, states, slot):
     ([..., B] leaves)."""
     def write(buf, x):
         B = buf.shape[-1]
-        x2 = x.reshape(-1, B).astype(buf.dtype)  # [S, B]
+        x3 = x.reshape(1, -1, B).astype(buf.dtype)  # [1, S, B]
         return jax.lax.dynamic_update_slice(
-            buf, x2, (slot * x2.shape[0], jnp.int32(0)))
+            buf, x3, (slot, jnp.int32(0), jnp.int32(0)))
 
     return jax.tree_util.tree_map(write, node_state, states)
 
@@ -277,7 +281,7 @@ def _root_states(env, node_state):
 
     def row0(buf, t):
         B = buf.shape[-1]
-        return buf[:_size_of(t)].reshape(tuple(jnp.shape(t)) + (B,))
+        return buf[0].reshape(tuple(jnp.shape(t)) + (B,))
 
     return jax.tree_util.tree_map(row0, node_state, template)
 
