@@ -13,9 +13,10 @@ search**: the kernels consume the buffers directly, and — because the
 fresh-tree uniform-slot discipline (see tree.apply_walk) makes every write
 land at one batch-uniform row — all big-row writes become leading-axis
 ``dynamic_update_slice`` slabs of a few KB instead of per-game scatters or
-whole-buffer selects. Only ``node_state`` stays batch-major: the env's
-``step``/``observation`` are vmapped per game, and the per-game leaf gather
-is index-dependent either way.
+whole-buffer selects. ``node_state`` is game-minor too, stored 3-D
+([rows, S, B] per leaf) so the per-sim leaf-parent read is a one-hot
+contraction with no reshape/relayout; env ``step``/``observation`` consume
+it via ``vmap(in_axes=-1)``.
 
 Semantics are byte-identical to the batch-major fresh-tree path: the same
 per-game RNG draws (tiebreaks, Dirichlet keys), the same f32 math, the same
@@ -46,10 +47,11 @@ class TreeT:
     Same fields/invariants as :class:`Tree` (see its docstring) plus a
     carried ``eany`` terminal-flag column (batch-major search recomputes it
     from ``e`` per sim; here it is maintained incrementally). ``node_state``
-    is game-minor as well ([rows*S, B] per leaf): the per-sim leaf-parent
-    state read is a one-hot contraction over the node axis (see
+    is game-minor as well, 3-D ([rows, S, B] per leaf): the per-sim
+    leaf-parent state read is a one-hot contraction over the node axis (see
     :func:`_gather_states`) — the XLA per-game row gather it replaces
-    lowered to a scalar path costing ~0.19 ms/sim at B=2048.
+    lowered to a scalar path costing ~0.19 ms/sim at B=2048, and a flat
+    [rows*S, B] layout costs a tile-relayout copy per sim reshape.
     """
 
     node_state: object  # game-minor [rows, S, B] leaves (3-D: the per-sim
