@@ -239,11 +239,58 @@ def _simulate_step_t(env, tt, spec, eval_fn, rng, add_root_noise,
     return backup_batched_t(tt, values, spec, interpret=interpret)
 
 
+def _round_step_t(env, tt, spec, eval_fn, keys, slots, K: int,
+                  add_root_noise, add_root_temp, interpret: bool):
+    """One multi-leaf round on a TreeT: K walks (each allocating its own
+    uniform slot), ONE network call over the K·B stacked leaf observations,
+    then K prior-installs + backups.
+
+    Round-mates don't see each other's values (the classic virtual-loss
+    trade); diversification comes from pending children scoring q=0 and the
+    walk stopping at them (tree.descend). Pending-leaf walks re-evaluate
+    the same state as their round-mate — duplicate net work, identical
+    backed-up statistics to two sequential sims visiting the same node.
+    """
+    from alphazero_general_tpu.mcts import tree_t as TT
+    from alphazero_general_tpu.ops.backup import backup_batched_t
+    from alphazero_general_tpu.ops.descend import descend_batched_t
+
+    B = tt.leaf.shape[0]
+    obs_l, e_l, valid_l, leaf_l, depth_l = [], [], [], [], []
+    for i in range(K):
+        node, action, child, depth, skip_walk, p_sel = descend_batched_t(
+            tt, spec, interpret=interpret)
+        tt, obs, e_leaf, lv = TT.apply_walk_observe_t(
+            env, tt, node, action, child, depth, skip_walk, p_sel,
+            slots[i], multi_leaf=True)
+        obs_l.append(obs)
+        e_l.append(e_leaf)
+        valid_l.append(lv)
+        leaf_l.append(tt.leaf)
+        depth_l.append(tt.depth)
+
+    pi, value = eval_fn(jnp.concatenate(obs_l, axis=0))
+    for i in range(K):
+        pi_i = jax.lax.dynamic_slice_in_dim(pi, i * B, B, axis=0)
+        v_i = jax.lax.dynamic_slice_in_dim(value, i * B, B, axis=0)
+        is_term = jnp.any(e_l[i] > 0, axis=-1, keepdims=True)
+        values = jnp.where(is_term, e_l[i], v_i)
+        tt = tt.replace(leaf=leaf_l[i], depth=depth_l[i])
+        tt = TT.install_prior_t(tt, pi_i, spec, jax.random.split(keys[i], B),
+                                add_root_noise, add_root_temp,
+                                root_adjust=False, slot=slots[i],
+                                leaf_valids=valid_l[i])
+        tt = backup_batched_t(tt, values, spec, interpret=interpret)
+    return tt
+
+
 def _search_t(env, trees, spec, eval_fn, sims: int, rng, add_root_noise,
-              add_root_temp, interpret: bool):
+              add_root_temp, interpret: bool, leaf_batch: int = 1):
     """Fresh-tree search in the persistent game-minor layout. Mirrors the
     fresh branch of :func:`search` (same RNG threading) and converts
-    Tree ↔ TreeT once per search."""
+    Tree ↔ TreeT once per search. ``leaf_batch`` > 1 evaluates that many
+    leaves per network call (multi-leaf rounds — see :func:`_round_step_t`;
+    segmentation is skipped in that mode)."""
     from alphazero_general_tpu.mcts import tree_t as TT
 
     tt = TT.tree_to_tree_t(trees)
@@ -264,10 +311,29 @@ def _search_t(env, trees, spec, eval_fn, sims: int, rng, add_root_noise,
         )
         return tt, None
 
-    # Growing-arena segmented scan: identical per-sim RNG keys and slots as
-    # one flat scan — only the (leading-row) buffer extents differ.
     keys = jax.random.split(rng_rest, sims - 1)
     slots = jnp.arange(1, sims, dtype=jnp.int32)
+
+    if leaf_batch > 1:
+        K = leaf_batch
+        rounds = (sims - 1) // K
+        if rounds:
+            def round_body(tt, xs):
+                ks, sl = xs  # [K, 2] keys, [K] slots
+                tt = _round_step_t(env, tt, spec, eval_fn, ks, sl, K,
+                                   add_root_noise, add_root_temp, interpret)
+                return tt, None
+
+            xs = (keys[:rounds * K].reshape(rounds, K, 2),
+                  slots[:rounds * K].reshape(rounds, K))
+            tt, _ = jax.lax.scan(round_body, tt, xs)
+        if (sims - 1) % K:  # remainder sims run singly
+            tt, _ = jax.lax.scan(
+                body, tt, (keys[rounds * K:], slots[rounds * K:]))
+        return TT.tree_t_to_tree(tt)
+
+    # Growing-arena segmented scan: identical per-sim RNG keys and slots as
+    # one flat scan — only the (leading-row) buffer extents differ.
     rows = tt.parent.shape[0]
     for n, lo, hi in _segment_plan(sims, rows):
         part = TT.slice_rows_t(tt, n) if n < rows else tt
@@ -279,7 +345,8 @@ def _search_t(env, trees, spec, eval_fn, sims: int, rng, add_root_noise,
 
 def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
            rng: jnp.ndarray, add_root_noise=None, add_root_temp=None,
-           walk_impl: str = "auto", fresh_tree: bool = True):
+           walk_impl: str = "auto", fresh_tree: bool = True,
+           leaf_batch: int = 1):
     """Run ``sims`` simulation rounds (reference: MCTS.pyx:165-173).
 
     ``sims`` must be static (scan length). With a fresh tree per move the
@@ -291,6 +358,11 @@ def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
     simulation k allocates slot k for every game, so the per-sim big-row
     writes are dynamic-update-slices, not scatters. Pass ``False`` for
     trees carried across moves (tree reuse / reroot).
+
+    ``leaf_batch`` (static) > 1 evaluates that many leaves per network call
+    (multi-leaf rounds, virtual-loss style — a deliberate departure from the
+    reference's 1-leaf-per-step semantics, see _round_step_t). Supported on
+    the fresh-tree game-minor kernel path; other paths run leaf_batch=1.
     """
     # Uniform slots need one slot per simulation (plus root and the dummy
     # sink); degrade gracefully to the general path on undersized arenas.
@@ -300,7 +372,8 @@ def search(env, trees, spec: T.SearchSpec, eval_fn: EvalFn, sims: int,
         if impl_t is not None:
             return _search_t(env, trees, spec, eval_fn, sims, rng,
                              add_root_noise, add_root_temp,
-                             interpret=impl_t == "pallas_interpret")
+                             interpret=impl_t == "pallas_interpret",
+                             leaf_batch=leaf_batch)
     # Pin the kernel choices on the FULL arena shape: a sliced segment must
     # never flip to a different implementation than its sibling segments
     # (the impls agree semantically but are only pinned byte-identical by

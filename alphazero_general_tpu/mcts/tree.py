@@ -417,7 +417,11 @@ def descend(tree: Tree, spec: SearchSpec):
         sel_c = iota_n == c_star  # scalar reads via [N] one-hot sums —
         a_c = jnp.sum(jnp.where(sel_c, pa, 0))      # fancy scalar gathers
         ep_c = jnp.sum(jnp.where(sel_c, ep, 0.0))   # lower to slow paths
-        term_c = jnp.any(sel_c & eany_c)
+        # Stop at terminal children AND at PENDING children (allocated but
+        # not yet backed up, n == 0 — only possible under multi-leaf rounds,
+        # search.py; sequential search backs every allocation up before the
+        # next walk, so this clause is inert at leaf_batch=1).
+        term_c = jnp.any(sel_c & (eany_c | (nf == 0)))
 
         # Best unexpanded valid action, in action space.
         pv = _row(tree.prior, node, A)  # packed prior/valid row
@@ -534,7 +538,8 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
 
 
 def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
-                        need_alloc, child_state, uniform_slot, p_sel):
+                        need_alloc, child_state, uniform_slot, p_sel,
+                        multi_leaf: bool = False):
     DUMMY = jnp.int32(tree.dummy)
     slot = jnp.asarray(uniform_slot, jnp.int32)
     alloc_row = jnp.where(need_alloc, slot, DUMMY)
@@ -583,19 +588,27 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
     rows = tree.parent.shape[0]
     sel = (jax.lax.iota(jnp.int32, rows) == leaf)[:, None]
     e_leaf = jnp.sum(jnp.where(sel, tree.e.reshape(rows, V), 0.0), axis=0)
+    if multi_leaf:
+        # Pending-leaf stops (multi-leaf rounds, search.py) make the stepped
+        # state garbage while its observation is still consumed — rebuild
+        # obs/valids from the stored leaf row.
+        leaf_state = gather_state(env, tree, leaf)
+        return (tree, env.observation(leaf_state), e_leaf,
+                env.valid_moves(leaf_state))
     return tree, env.observation(child_state), e_leaf, valid_vec
 
 
 def apply_walk_observe(env, tree: Tree, node, action, child, depth, skip_walk,
-                       p_sel, uniform_slot):
+                       p_sel, uniform_slot, multi_leaf: bool = False):
     """Uniform-slot apply_walk that also returns the leaf's observation,
-    terminal vector, and valid-move mask (see _apply_walk_uniform)."""
+    terminal vector, and valid-move mask (see _apply_walk_uniform;
+    ``multi_leaf`` as in tree_t.apply_walk_observe_t)."""
     need_alloc = (child == UNVISITED) & ~skip_walk
     parent_state = gather_state(env, tree, node)
     child_state = env.step(parent_state, action)
     return _apply_walk_uniform(env, tree, node, action, child, depth,
                                skip_walk, need_alloc, child_state,
-                               uniform_slot, p_sel)
+                               uniform_slot, p_sel, multi_leaf=multi_leaf)
 
 
 def expand_root(env, tree: Tree):

@@ -302,9 +302,17 @@ def expand_root_t(env, tt: TreeT):
 
 
 def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
-                         skip_walk, p_sel, slot):
+                         skip_walk, p_sel, slot, multi_leaf: bool = False):
     """Uniform-slot apply_walk in game-minor layout (see
     tree._apply_walk_uniform for the write-strategy rationale).
+
+    ``multi_leaf`` (static): under multi-leaf rounds (search.py) a walk may
+    stop at a PENDING round-mate child, where the stepped state
+    ``step(state[node], action)`` is garbage (node is the pending child
+    itself, like the terminal-revisit case) but its observation is LIVE —
+    so obs/valids are re-derived from the stored leaf state instead. Costs
+    one extra node_state contraction per walk; never enabled at
+    leaf_batch=1.
 
     Returns (tt, obs, e_leaf, leaf_valids).
     """
@@ -349,6 +357,14 @@ def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
     sel = (jax.lax.iota(jnp.int32, rows)[:, None] == leaf[None, :])  # [N, B]
     e_leaf = jnp.sum(jnp.where(sel[:, None, :], tt.e.reshape(rows, V, -1),
                                0.0), axis=0)  # [V, B]
+    if multi_leaf:
+        # Pending-leaf stops make the stepped state garbage while its
+        # observation is still consumed — rebuild obs/valids from the
+        # stored leaf row (covers all leaf cases: new slot, terminal
+        # revisit, pending round-mate, root).
+        leaf_states = _gather_states(env, tt.node_state, leaf)
+        obs = jax.vmap(env.observation, in_axes=-1)(leaf_states)
+        valid = jax.vmap(env.valid_moves, in_axes=-1)(leaf_states)
     return tt, obs, jnp.transpose(e_leaf, (1, 0)), valid
 
 

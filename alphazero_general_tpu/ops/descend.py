@@ -96,7 +96,11 @@ def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
         selcf = selc.astype(jnp.float32)
         a_c = jnp.sum(jnp.where(selc, pa_all, 0), axis=0, keepdims=True)
         ep_c = jnp.sum(ep_all * selcf, axis=0, keepdims=True)
-        term_c = jnp.sum(eany_all * selcf, axis=0, keepdims=True) > 0.5
+        # Terminal OR pending (n == 0, multi-leaf rounds) children end the
+        # walk — see tree.descend.
+        stopv = jnp.where(eany_all > 0.5, 1.0, 0.0) + jnp.where(
+            n_all_f == 0.0, 1.0, 0.0)
+        term_c = jnp.sum(stopv * selcf, axis=0, keepdims=True) > 0.5
 
         # Prior row of the current node — the ONE [N, A, LANES] pass.
         sel3f = (node_iota2 == node[None]).astype(jnp.float32)

@@ -52,6 +52,11 @@ class SelfPlayConfig(NamedTuple):
     # action (reference: update_root tree reuse, MCTS.pyx:185-195). Opt-in
     # pending an Elo A/B (ROADMAP); the reference reuses by default.
     reuse_tree: bool = False
+    # Leaves evaluated per network call (multi-leaf rounds, virtual-loss
+    # style — departs from the reference's 1-leaf-per-step search, so it is
+    # opt-in; see mcts/search._round_step_t). Requires the fresh-tree
+    # game-minor kernel path; other paths silently run 1.
+    leaf_batch: int = 1
     spec: T.SearchSpec = T.SearchSpec()
 
     @property
@@ -87,6 +92,7 @@ class SelfPlayConfig(NamedTuple):
             const_temp=args.get("temp_scaling_fn") is const_temp_scaling,
             tree_capacity=int(args.get("max_tree_nodes", 0)),
             reuse_tree=bool(args.get("reuse_tree", False)),
+            leaf_batch=int(args.get("leaf_batch", 1)),
             spec=spec,
         )
 
@@ -178,22 +184,26 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
             env.ACTION_SIZE, cfg.spec.value_size, uniform_value=True
         )
         trees = S.search(env, trees, cfg.spec, warm_eval, cfg.sims_warmup,
-                         r_search, fresh_tree=not cfg.reuse_tree)
+                         r_search, fresh_tree=not cfg.reuse_tree,
+                         leaf_batch=cfg.leaf_batch)
         fast = jnp.bool_(False)
     elif sims_override is not None:
         trees = S.search(env, trees, cfg.spec, eval_fn, sims_override,
-                         r_search, fresh_tree=not cfg.reuse_tree)
+                         r_search, fresh_tree=not cfg.reuse_tree,
+                         leaf_batch=cfg.leaf_batch)
         fast = jnp.bool_(fast_flag)
     else:
         fast = jax.random.uniform(r_fast) < cfg.prob_fast
 
         def do_fast(trees):
             return S.search(env, trees, cfg.spec, eval_fn, cfg.sims_fast,
-                            r_search, fresh_tree=not cfg.reuse_tree)
+                            r_search, fresh_tree=not cfg.reuse_tree,
+                            leaf_batch=cfg.leaf_batch)
 
         def do_full(trees):
             return S.search(env, trees, cfg.spec, eval_fn, cfg.sims_full,
-                            r_search, fresh_tree=not cfg.reuse_tree)
+                            r_search, fresh_tree=not cfg.reuse_tree,
+                            leaf_batch=cfg.leaf_batch)
 
         trees = jax.lax.cond(fast, do_fast, do_full, trees)
 

@@ -176,6 +176,11 @@ def _build_default_args() -> Args:
         # Carry search trees across moves, re-rooted at the played action
         # (the reference's update_root reuse). Opt-in pending Elo A/B.
         reuse_tree=False,
+        # Leaves evaluated per network call during search (multi-leaf
+        # rounds, virtual-loss style). 1 = the reference's exact
+        # 1-leaf-per-step semantics; >1 departs from them (opt-in) and
+        # requires the fresh-tree game-minor kernel path.
+        leaf_batch=1,
         # Int8-quantized network tower for self-play inference
         # (models/quant.py): ~1.3x self-play throughput on TPU v5e.
         # Training/arena stay bf16. Requires resnet + batchnorm; silently
