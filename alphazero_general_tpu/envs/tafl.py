@@ -183,8 +183,11 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
     def _team1(v):  # white + king
         return (v == WHITE) | _is_king(v)
 
-    def _valid_from_masks(board, movers_nonking, movers_king):
-        """Flat bool[A] of legal moves for given mover masks."""
+    def _ok_pair(board):
+        """Board-only move legality ([A] for non-king movers, [A] for the
+        king): blocked-path + landable-destination tests. Independent of
+        WHICH pieces move — mover masks only select source rows — so one
+        pair serves both teams' movegen AND the stuck-team checks."""
         pass_nk = (board == EMPTY) | (
             (board == THRONE) if move_over_throne else (board == EMPTY)
         )
@@ -200,11 +203,17 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
             landable = dest_oh_j @ land_mask.astype(jnp.float32).reshape(-1)
             return (blocked < 0.5) & (landable > 0.5)
 
-        ok_nk = ok(pass_nk, land_nk)
-        ok_k = ok(pass_k, land_k)
+        return ok(pass_nk, land_nk), ok(pass_k, land_k)
+
+    def _select_movers(ok_nk, ok_k, movers_nonking, movers_king):
         src_nk = jnp.repeat(movers_nonking.reshape(-1), MT)
         src_k = jnp.repeat(movers_king.reshape(-1), MT)
         return (src_nk & ok_nk) | (src_k & ok_k)
+
+    def _valid_from_masks(board, movers_nonking, movers_king):
+        """Flat bool[A] of legal moves for given mover masks."""
+        ok_nk, ok_k = _ok_pair(board)
+        return _select_movers(ok_nk, ok_k, movers_nonking, movers_king)
 
     def _team_has_moves(board, team1: bool):
         """Any legal move for a whole team (cengine.pyx:163-167 via
@@ -396,6 +405,43 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
                 draw,
             ]).astype(jnp.float32)
             return result
+
+        @staticmethod
+        def win_and_valids(state: TaflState):
+            """Fused win_state + valid_moves: the board-only legality masks
+            (_ok_pair) are computed once and reused for both teams' movegen
+            and the stuck-team win conditions. Results are identical to the
+            separate calls; the search's leaf expansion consumes this
+            (mcts/tree.py _win_valids). Note: measured-neutral under jit on
+            TPU — XLA already CSE-dedups the identical movegen
+            subexpressions across win_state/valid_moves in one fusion — but
+            the single-evaluation contract is explicit here rather than an
+            optimizer artifact, and it pays off for any non-fused caller.
+            """
+            board = state.board
+            ok_nk, ok_k = _ok_pair(board)
+            vm_black = _select_movers(ok_nk, ok_k, board == BLACK,
+                                      jnp.zeros((H, W), jnp.bool_))
+            vm_white = _select_movers(ok_nk, ok_k, board == WHITE,
+                                      _is_king(board))
+            valids = jnp.where(state.player == 0, vm_black, vm_white)
+
+            draw = state.turns >= draw_move_count
+            king_escaped = jnp.any(board == KING_ON_ESCAPE)
+            black_stuck = ~jnp.any(vm_black)
+            white_wins = king_escaped | black_stuck
+            if king_two_sided_capture:
+                king_taken = state.king_captured
+            else:
+                king_taken = state.king_captured | _king_surrounded(board)
+            white_stuck = ~jnp.any(vm_white)
+            black_wins = (king_taken | white_stuck) & ~white_wins
+            win = jnp.stack([
+                black_wins & ~draw,
+                white_wins & ~draw,
+                draw,
+            ]).astype(jnp.float32)
+            return win, valids
 
         @staticmethod
         def observation(state: TaflState) -> jnp.ndarray:

@@ -471,6 +471,16 @@ def _set_expanded_bit(expanded: jnp.ndarray, node, action, active,
     return jnp.where(onehot & active, expanded | bit, expanded)
 
 
+def _win_valids(env, state):
+    """(win_state, valid_moves) of one state — via the env's fused
+    ``win_and_valids`` when provided (e.g. tafl computes its board-only
+    movegen masks once for both; separately they run the movegen 3x)."""
+    fn = getattr(env, "win_and_valids", None)
+    if fn is not None:
+        return fn(state)
+    return env.win_state(state), env.valid_moves(state)
+
+
 def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
                p_sel=None, uniform_slot=None) -> Tree:
     """Allocate/expand the walk's leaf (MCTS.pyx:218-228) — the write half of
@@ -522,11 +532,11 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
         # ---- expansion: player / terminal / valids (MCTS.pyx:223-226) ------
         leaf_state = gather_state(env, tree, leaf)
         expand_row = jnp.where(tree.n[leaf] == 0, leaf, DUMMY)
+        win_vec, valid_vec = _win_valids(env, leaf_state)
         return tree.replace(
             player=tree.player.at[expand_row].set(leaf_state.player),
-            e=_set_row(tree.e, expand_row, env.win_state(leaf_state)),
-            valids=_set_row(tree.valids, expand_row,
-                            env.valid_moves(leaf_state)),
+            e=_set_row(tree.e, expand_row, win_vec),
+            valids=_set_row(tree.valids, expand_row, valid_vec),
         )
 
     # ---- uniform-slot mode -------------------------------------------------
@@ -543,8 +553,7 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
     DUMMY = jnp.int32(tree.dummy)
     slot = jnp.asarray(uniform_slot, jnp.int32)
     alloc_row = jnp.where(need_alloc, slot, DUMMY)
-    win_vec = env.win_state(child_state)
-    valid_vec = env.valid_moves(child_state)
+    win_vec, valid_vec = _win_valids(env, child_state)
     tree = tree.replace(
         node_state=_scatter_state_uniform(tree.node_state, child_state, slot),
         parent=tree.parent.at[alloc_row].set(node),
@@ -619,8 +628,7 @@ def expand_root(env, tree: Tree):
     Returns (tree, observation, e_leaf, leaf_valids) like
     :func:`apply_walk_observe`."""
     root_state = gather_state(env, tree, ROOT)
-    win_vec = env.win_state(root_state)
-    valid_vec = env.valid_moves(root_state)
+    win_vec, valid_vec = _win_valids(env, root_state)
     tree = tree.replace(
         depth=jnp.int32(0),
         leaf=jnp.int32(ROOT),

@@ -254,9 +254,11 @@ def _scatter_states_uniform(node_state, states, slot):
 
 def _leaf_data(env, states):
     """(win [B,V] f32, valid [B,A] bool, obs [B,...], player [B]) of
-    game-minor stepped states ([..., B] leaves)."""
-    win = jax.vmap(env.win_state, in_axes=-1)(states).astype(jnp.float32)
-    valid = jax.vmap(env.valid_moves, in_axes=-1)(states)
+    game-minor stepped states ([..., B] leaves). Uses the env's fused
+    win_and_valids when provided (see tree._win_valids)."""
+    win, valid = jax.vmap(lambda s: T._win_valids(env, s),
+                          in_axes=-1)(states)
+    win = win.astype(jnp.float32)
     obs = jax.vmap(env.observation, in_axes=-1)(states)
     return win, valid, obs, states.player
 

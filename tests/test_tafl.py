@@ -315,3 +315,36 @@ class TestSymmetries:
             np.testing.assert_array_equal(
                 np.asarray(obs_k[k][0]), (tb == BLACK).astype(np.float32)
             )
+
+
+class TestFusedWinValids:
+    @pytest.mark.parametrize("name", ["brandubh", "hnefatafl"])
+    def test_matches_separate_calls(self, name):
+        """win_and_valids must equal (win_state, valid_moves) exactly on
+        random playout states (it shares the board-only movegen masks)."""
+        import jax
+        import jax.numpy as jnp
+
+        from alphazero_general_tpu.envs import get_env
+        env = get_env(name)
+        rng = jax.random.PRNGKey(0)
+        states = jax.vmap(lambda _: env.init())(jnp.arange(16))
+        for step in range(12):
+            win_v, val_v = jax.vmap(env.win_and_valids)(states)
+            np.testing.assert_array_equal(
+                np.asarray(win_v),
+                np.asarray(jax.vmap(env.win_state)(states)))
+            np.testing.assert_array_equal(
+                np.asarray(val_v),
+                np.asarray(jax.vmap(env.valid_moves)(states)))
+            rng, sub = jax.random.split(rng)
+            logits = jnp.where(val_v, 0.0, -jnp.inf)
+            acts = jax.random.categorical(sub, logits, axis=-1).astype(
+                jnp.int32)
+            nxt = jax.vmap(env.step)(states, acts)
+            done = jnp.any(jax.vmap(env.win_state)(nxt) > 0, axis=-1)
+            fresh = jax.vmap(lambda _: env.init())(jnp.arange(16))
+            states = jax.tree_util.tree_map(
+                lambda n, f: jnp.where(
+                    done.reshape((16,) + (1,) * (n.ndim - 1)), f, n),
+                nxt, fresh)
