@@ -25,6 +25,49 @@ from alphazero_general_tpu.cli.common import (
 )
 
 
+def run_tournament(env, cfg, apply_fn, variables_list, names, games: int,
+                   rng, baseline_apply=None, baseline_variables=None,
+                   verbose: bool = True):
+    """All-pairs tournament (reference: roundrobin.py:44-77) → win matrix.
+
+    One jitted arena program serves every model-vs-model pairing (parameters
+    are runtime arguments, so 465 pairings = 1 compile), plus one for
+    baseline pairings when ``baseline_apply`` is given (the baseline is
+    appended as the last contestant). Returns (names, wins[n, n]) with
+    half-credit draws."""
+    import jax
+
+    from alphazero_general_tpu.selfplay.arena import make_arena_fn
+
+    names = list(names)
+    variables_list = list(variables_list)
+    pair_arena = make_arena_fn(env, cfg, apply_fn, games)
+    base_arena = None
+    if baseline_apply is not None:
+        base_arena = make_arena_fn(env, cfg, apply_fn, games,
+                                   apply_fn_b=baseline_apply)
+        names.append("baseline")
+        variables_list.append(baseline_variables or {})
+
+    n = len(names)
+    wins = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            rng, sub = jax.random.split(rng)
+            if base_arena is not None and j == n - 1:
+                res = base_arena(variables_list[i], variables_list[j], sub)
+            else:
+                res = pair_arena(variables_list[i], variables_list[j], sub)
+            mw = np.asarray(res.model_wins)
+            d = float(res.draws)
+            wins[i, j] += mw[0] + 0.5 * d
+            wins[j, i] += mw[1] + 0.5 * d
+            if verbose:
+                print(f"{names[i]} vs {names[j]}: {mw[0]:.0f}-{mw[1]:.0f} "
+                      f"({d:.0f} draws)")
+    return names, wins
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     add_env_arg(p)
@@ -51,7 +94,6 @@ def main(argv=None) -> int:
     from alphazero_general_tpu.models import NNetWrapper
     from alphazero_general_tpu.selfplay.arena import (
         ArenaConfig,
-        make_arena_fn,
         raw_mcts_apply,
     )
     from alphazero_general_tpu.utils.elo import ilsr_pairwise_dense, to_elo
@@ -59,7 +101,7 @@ def main(argv=None) -> int:
     paths = []
     for c in ns.checkpoints:
         paths.extend(sorted(glob(c)) if any(ch in c for ch in "*?[") else [c])
-    names, variables_list, apply_fns = [], [], []
+    names, variables_list = [], []
     base_apply = None
     for path in paths:
         folder, filename = os.path.split(path)
@@ -71,31 +113,18 @@ def main(argv=None) -> int:
         if base_apply is None:
             def base_apply(variables, obs, _m=model):
                 return _m.apply(variables, obs, train=False)
-        apply_fns.append(base_apply)
-    if ns.include_baseline:
-        names.append("rawmcts-baseline")
-        variables_list.append({})
-        apply_fns.append(raw_mcts_apply(
-            env.ACTION_SIZE, env.NUM_PLAYERS + int(env.HAS_DRAW)))
 
-    n = len(names)
-    if n < 2:
+    if len(names) + int(ns.include_baseline) < 2:
         raise SystemExit("need at least two contestants")
     cfg = ArenaConfig.from_args(args, env.NUM_PLAYERS, env.HAS_DRAW)
-    rng = jax.random.PRNGKey(ns.seed)
-    wins = np.zeros((n, n))
-    for i in range(n):
-        for j in range(i + 1, n):
-            arena = make_arena_fn(env, cfg, apply_fns[i], ns.games,
-                                  apply_fn_b=apply_fns[j])
-            rng, sub = jax.random.split(rng)
-            res = arena(variables_list[i], variables_list[j], sub)
-            mw = np.asarray(res.model_wins)
-            d = float(res.draws)
-            wins[i, j] += mw[0] + 0.5 * d
-            wins[j, i] += mw[1] + 0.5 * d
-            print(f"{names[i]} vs {names[j]}: {mw[0]:.0f}-{mw[1]:.0f} "
-                  f"({d:.0f} draws)")
+    baseline_apply = None
+    if ns.include_baseline:
+        baseline_apply = raw_mcts_apply(
+            env.ACTION_SIZE, env.NUM_PLAYERS + int(env.HAS_DRAW))
+    names, wins = run_tournament(
+        env, cfg, base_apply, variables_list, names, ns.games,
+        jax.random.PRNGKey(ns.seed), baseline_apply=baseline_apply,
+    )
 
     ratings = to_elo(ilsr_pairwise_dense(wins))
     order = np.argsort(-ratings)

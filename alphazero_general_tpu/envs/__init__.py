@@ -44,6 +44,7 @@ def _load_builtins() -> None:
         "tafl",
         "stratego",
         "chess",
+        "nim",
     ):
         try:
             m = importlib.import_module(f"alphazero_general_tpu.envs.{mod}")

@@ -64,6 +64,12 @@ class Env:
     HAS_DRAW: bool = True
     #: number of symmetric copies returned by `symmetries` (1 = identity only)
     NUM_SYMMETRIES: int = 1
+    #: True when ``step`` always advances ``player = (player + 1) % N`` (all
+    #: built-in envs; passes are explicit actions). The batched arena relies
+    #: on this to give each model exactly its own games' evaluations per move
+    #: round (selfplay/arena.py); envs that ever skip a player's turn must
+    #: set False to get the evaluate-all fallback.
+    ALTERNATES: bool = True
 
     State: Type[EnvState] = EnvState
 

@@ -96,6 +96,16 @@ class Gobang(Env):
         turn = jnp.full((N, N), state.turns / MAX_TURNS, dtype=jnp.float32)
         return jnp.stack([p0, p1, colour, turn])
 
+    @staticmethod
+    def crude_value(state: GobangState) -> jnp.ndarray:
+        """Mover-perspective heuristic for greedy baselines (reference
+        pattern: envs/brandubh/fastafl.pyx:258-268): 1/0 on a decided game,
+        else 0.5 — one-ply search over it takes wins and blocks losses."""
+        w = Gobang.win_state(state)
+        me = w[state.player]
+        opp = w[(state.player + 1) % NUM_PLAYERS]
+        return jnp.where(me > 0, 1.0, jnp.where(opp > 0, 0.0, 0.5))
+
     @classmethod
     def symmetries(cls, obs: jnp.ndarray, pi: jnp.ndarray):
         pi_b = pi.reshape(N, N)

@@ -342,6 +342,25 @@ class Stratego(Env):
             draw,
         ]).astype(jnp.float32)
 
+    @staticmethod
+    def crude_value(state: StrategoState) -> jnp.ndarray:
+        """Mover-perspective heuristic for greedy baselines: decided games
+        1/0, else 0.5 + a rank-weighted material balance (reference pattern:
+        envs/brandubh/fastafl.pyx:258-268; the reference ships no stratego
+        heuristic player)."""
+        w = Stratego.win_state(state)
+        me = w[state.player]
+        opp = w[(state.player + 1) % NUM_PLAYERS]
+        board = state.board
+        ranks = _rank(board).astype(jnp.float32)
+        red_mat = jnp.sum(jnp.where(_is_red(board), ranks, 0.0))
+        blue_mat = jnp.sum(jnp.where(_is_blue(board), ranks, 0.0))
+        total = red_mat + blue_mat + 1e-6
+        diff = (red_mat - blue_mat) / total  # in [-1, 1]
+        mine = jnp.where(state.player == 0, diff, -diff)
+        running = 0.5 + 0.45 * mine
+        return jnp.where(me > 0, 1.0, jnp.where(opp > 0, 0.0, running))
+
     # ----------------------------------------------------------- observation
     @staticmethod
     def observation(state: StrategoState) -> jnp.ndarray:

@@ -158,11 +158,35 @@ def _build_symmetry_perms(H: int, W: int, MT: int) -> np.ndarray:
     return perms
 
 
+def _build_scan_tables(H: int, W: int):
+    """Static index tables for the prefix-sum movegen (see _ok_pair "scan"
+    impl): for each (source row, vertical move type) the exclusive-between
+    cumsum bounds and destination row; likewise for columns."""
+    MTv, MTh = H - 1, W - 1
+    r2v = np.array([[mt + (1 if mt >= r else 0) for mt in range(MTv)]
+                    for r in range(H)], np.int32)           # [H, MTv]
+    rsrc = np.arange(H, dtype=np.int32)[:, None]
+    V_HI = np.maximum(r2v, rsrc)                             # sum rows < HI
+    V_LO1 = np.minimum(r2v, rsrc) + 1                        # ... >= LO+1
+    c2h = np.array([[cc + (1 if cc >= c else 0) for cc in range(MTh)]
+                    for c in range(W)], np.int32)           # [W, MTh]
+    csrc = np.arange(W, dtype=np.int32)[:, None]
+    H_HI = np.maximum(c2h, csrc)
+    H_LO1 = np.minimum(c2h, csrc) + 1
+    return r2v, V_HI, V_LO1, c2h, H_HI, H_LO1
+
+
 def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
                   draw_move_count: int, move_over_throne: bool = True,
-                  king_can_enter_throne: bool = False):
+                  king_can_enter_throne: bool = False,
+                  movegen: str = "scan"):
     """Build a tafl Env class for a variant (reference: cengine.pyx:54-57
-    rule flags, variants.py board strings)."""
+    rule flags, variants.py board strings).
+
+    ``movegen``: 'scan' (default) computes path legality with row/col
+    obstacle prefix sums + tiny static gathers — O(H·W·MT) arithmetic;
+    'dense' uses the [A, H·W] between/destination mask matmuls (the round-1
+    kernels, kept as the cross-check oracle). Both are exact."""
     INIT = _parse_board(board_str)
     H, W = INIT.shape
     MT, DEST_R, DEST_C, BETWEEN, DEST_OH = _build_tables(H, W)
@@ -177,11 +201,46 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
     dest_c_j = jnp.asarray(DEST_C.reshape(-1))
     perms_j = jnp.asarray(PERMS)
 
+    R2V, V_HI, V_LO1, C2H, H_HI, H_LO1 = _build_scan_tables(H, W)
+    r2v_j, v_hi_j, v_lo1_j = map(jnp.asarray, (R2V, V_HI, V_LO1))
+    c2h_j, h_hi_j, h_lo1_j = map(jnp.asarray, (C2H, H_HI, H_LO1))
+
     def _is_king(v):
         return (v == KING) | (v == KING_ON_THRONE) | (v == KING_ON_ESCAPE)
 
     def _team1(v):  # white + king
         return (v == WHITE) | _is_king(v)
+
+    def _ok_dense(pass_mask, land_mask):
+        """[A, H·W] mask-matmul legality (round-1 kernels): blocked-count
+        and destination-landability matvecs."""
+        obstacles = (~pass_mask).astype(jnp.float32).reshape(-1)
+        blocked = between_j @ obstacles  # [A] count of blockers between
+        landable = dest_oh_j @ land_mask.astype(jnp.float32).reshape(-1)
+        return (blocked < 0.5) & (landable > 0.5)
+
+    def _ok_scan(pass_mask, land_mask):
+        """Prefix-sum legality: blockers between source and destination read
+        off row/col obstacle cumsums with static [H, MT]-shaped gathers —
+        O(H·W·MT) VPU work instead of the [A, H·W] matmuls (~100x less
+        arithmetic at hnefatafl scale, and no MXU contention with the
+        network). Exact: counts are small integers."""
+        obst = (~pass_mask).astype(jnp.int32)
+        # vertical moves: S[k, c] = #obstacles in rows < k of column c
+        S = jnp.concatenate(
+            [jnp.zeros((1, W), jnp.int32), jnp.cumsum(obst, axis=0)], axis=0)
+        blocked_v = jnp.take(S, v_hi_j, axis=0) - jnp.take(S, v_lo1_j, axis=0)
+        ok_v = (blocked_v == 0) & jnp.take(land_mask, r2v_j, axis=0)
+        # horizontal moves: T[r, k] = #obstacles in cols < k of row r
+        T = jnp.concatenate(
+            [jnp.zeros((H, 1), jnp.int32), jnp.cumsum(obst, axis=1)], axis=1)
+        blocked_h = jnp.take(T, h_hi_j, axis=1) - jnp.take(T, h_lo1_j, axis=1)
+        ok_h = (blocked_h == 0) & jnp.take(land_mask, c2h_j, axis=1)
+        # action layout: a = (r*W + c) * MT + mt, vertical types first
+        return jnp.concatenate(
+            [ok_v.transpose(0, 2, 1), ok_h], axis=-1).reshape(A)
+
+    _ok_impl = _ok_scan if movegen == "scan" else _ok_dense
 
     def _ok_pair(board):
         """Board-only move legality ([A] for non-king movers, [A] for the
@@ -196,14 +255,7 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
         land_k = land_nk | (board == ESCAPE) | (
             (board == THRONE) if king_can_enter_throne else (board == EMPTY)
         )
-
-        def ok(pass_mask, land_mask):
-            obstacles = (~pass_mask).astype(jnp.float32).reshape(-1)
-            blocked = between_j @ obstacles  # [A] count of blockers between
-            landable = dest_oh_j @ land_mask.astype(jnp.float32).reshape(-1)
-            return (blocked < 0.5) & (landable > 0.5)
-
-        return ok(pass_nk, land_nk), ok(pass_k, land_k)
+        return _ok_impl(pass_nk, land_nk), _ok_impl(pass_k, land_k)
 
     def _select_movers(ok_nk, ok_k, movers_nonking, movers_king):
         src_nk = jnp.repeat(movers_nonking.reshape(-1), MT)

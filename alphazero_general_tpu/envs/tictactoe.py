@@ -82,6 +82,16 @@ class TicTacToe(Env):
     def observation(state: TicTacToeState) -> jnp.ndarray:
         return state.board.astype(jnp.float32)[None]
 
+    @staticmethod
+    def crude_value(state: TicTacToeState) -> jnp.ndarray:
+        """Mover-perspective heuristic for greedy baselines: 1/0 on a
+        decided game, else 0.5 (reference pattern:
+        envs/brandubh/fastafl.pyx:258-268)."""
+        w = TicTacToe.win_state(state)
+        me = w[state.player]
+        opp = w[(state.player + 1) % NUM_PLAYERS]
+        return jnp.where(me > 0, 1.0, jnp.where(opp > 0, 0.0, 0.5))
+
     @classmethod
     def symmetries(cls, obs: jnp.ndarray, pi: jnp.ndarray):
         pi_b = pi.reshape(N, N)

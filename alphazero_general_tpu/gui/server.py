@@ -31,7 +31,12 @@ body { font-family: system-ui, sans-serif; margin: 2em; background: #182026; col
 #board td { width: 42px; height: 42px; border: 1px solid #3a434d; text-align: center;
   font-size: 22px; cursor: pointer; user-select: none; }
 #board td.hint { background: #2d4d36; }
+#board td.bad { background: #4d2d2d; }
+#board td.last { outline: 2px solid #7aa2d8; outline-offset: -2px; }
 #board td.sel { background: #4d3d2d; }
+#argtable td { padding: 2px 8px; font-size: 13px; }
+#argtable input { background: #2b3440; color: #e8eaed;
+  border: 1px solid #3a434d; padding: 3px 6px; width: 220px; }
 #evalwrap { width: 380px; height: 14px; background: #a33; border-radius: 7px; overflow: hidden; }
 #evalbar { height: 100%; background: #3a7; width: 50%; transition: width 0.3s; }
 button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
@@ -45,11 +50,15 @@ button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
   <select id="opp">
     <option value="nativemcts">native MCTS (fast)</option>
     <option value="rawmcts">raw MCTS (JAX)</option>
+    <option value="hotseat">human — hot-seat</option>
+    <option value="human">human — networked (share id)</option>
   </select>
   <select id="seat"><option value="0">I play first</option>
-  <option value="1">agent plays first</option></select>
+  <option value="1">opponent plays first</option></select>
   <button onclick="newGame()">new game</button>
   <button onclick="undo()">undo</button>
+  <input id="joinid" placeholder="game id" style="width:110px;background:#2b3440;color:#e8eaed;border:1px solid #3a434d;padding:6px">
+  <button onclick="joinGame()">join</button>
 </div>
 <div style="margin-top:1em">win probability (you)
   <div id="evalwrap"><div id="evalbar"></div></div></div>
@@ -65,8 +74,10 @@ button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
   <button onclick="trainStop()">stop</button>
 </div>
 <div id="tstatus" style="margin-top:0.6em">idle</div>
+<div style="margin-top:0.6em"><button onclick="toggleArgs()">edit args</button></div>
+<table id="argtable" style="display:none; margin-top:0.6em"></table>
 <script>
-let game = null, sel = null, view = null;
+let game = null, sel = null, view = null, token = null, argDefaults = {};
 async function api(path, body) {
   const r = await fetch(path, {method: body ? 'POST' : 'GET',
     headers: {'Content-Type': 'application/json'},
@@ -84,10 +95,39 @@ async function init() {
   }
   setInterval(pollTrain, 1000);
 }
+async function toggleArgs() {
+  const tbl = document.getElementById('argtable');
+  if (tbl.style.display !== 'none') { tbl.style.display = 'none'; return; }
+  const r = await api('/api/args?env=' + document.getElementById('tenv').value);
+  if (r.error) return;
+  argDefaults = r.args;
+  tbl.innerHTML = '';
+  for (const [k, v] of Object.entries(r.args)) {
+    const tr = document.createElement('tr');
+    const td1 = document.createElement('td'); td1.textContent = k;
+    const td2 = document.createElement('td');
+    const inp = document.createElement('input');
+    inp.id = 'arg_' + k; inp.value = JSON.stringify(v);
+    td2.appendChild(inp);
+    tr.appendChild(td1); tr.appendChild(td2); tbl.appendChild(tr);
+  }
+  tbl.style.display = '';
+}
+function collectArgOverrides() {
+  const out = {numIters: parseInt(document.getElementById('titers').value)};
+  for (const [k, v] of Object.entries(argDefaults)) {
+    const inp = document.getElementById('arg_' + k);
+    if (!inp) continue;
+    let parsed;
+    try { parsed = JSON.parse(inp.value); } catch { parsed = inp.value; }
+    if (JSON.stringify(parsed) !== JSON.stringify(v)) out[k] = parsed;
+  }
+  return out;
+}
 async function trainStart() {
   const r = await api('/api/train/start', {
     env: document.getElementById('tenv').value,
-    overrides: {numIters: parseInt(document.getElementById('titers').value)}});
+    overrides: collectArgOverrides()});
   document.getElementById('tstatus').textContent = r.error || 'starting…';
 }
 async function trainPause() { await api('/api/train/pause', {}); }
@@ -107,7 +147,29 @@ async function newGame() {
     human_seat: parseInt(document.getElementById('seat').value)};
   const r = await api('/api/new', body);
   if (r.error) { setStatus(r.error); return; }
-  game = r.game; render(r);
+  game = r.game; token = r.token || null; render(r);
+  if (r.mode === 'human') {
+    setStatus('game id: ' + game + ' — share it; waiting for opponent');
+    pollState();
+  }
+}
+async function joinGame() {
+  const id = document.getElementById('joinid').value.trim();
+  if (!id) return;
+  const r = await api('/api/join', {game: id});
+  if (r.error) { setStatus(r.error); return; }
+  game = id; token = r.token; render(r);
+  pollState();
+}
+let polling = false;
+async function pollState() {
+  if (polling) return; polling = true;
+  while (game && view && view.mode === 'human' && !view.terminal) {
+    await new Promise(res => setTimeout(res, 1200));
+    const r = await api('/api/state?game=' + game);
+    if (!r.error) { r.game = game; render(r); }
+  }
+  polling = false;
 }
 async function undo() {
   if (!game) return;
@@ -135,12 +197,17 @@ function render(r) {
   const tbl = document.getElementById('board');
   tbl.innerHTML = '';
   const hints = new Set((r.hints || []).map(h => h[0] + ',' + h[1]));
+  const bad = new Set((r.bad_hints || []).map(h => h[0] + ',' + h[1]));
+  const last = r.last_move ? r.last_move[0] + ',' + r.last_move[1] : null;
   for (let i = 0; i < r.board.length; i++) {
     const tr = document.createElement('tr');
     for (let j = 0; j < r.board[i].length; j++) {
       const td = document.createElement('td');
       td.textContent = r.board[i][j];
-      if (hints.has(i + ',' + j)) td.className = 'hint';
+      const key = i + ',' + j;
+      if (hints.has(key)) td.className = 'hint';
+      else if (bad.has(key)) td.className = 'bad';
+      if (key === last) td.classList.add('last');
       if (sel && sel[0] === i && sel[1] === j) td.className = 'sel';
       td.onclick = () => clickCell(i, j);
       tr.appendChild(td);
@@ -155,13 +222,13 @@ async function clickCell(i, j) {
   if (!game || !view || view.terminal) return;
   if (view.place_counts) {  // stratego placement: palette + one click
     const piece = document.getElementById('piece').value;
-    render(await api('/api/move', {game, to: [i, j], piece}));
+    render(await api('/api/move', {game, to: [i, j], piece, token}));
   } else if (view.needs_two_clicks) {
     if (!sel) { sel = [i, j]; render(view); return; }
-    const r = await api('/api/move', {game, from: sel, to: [i, j]});
+    const r = await api('/api/move', {game, from: sel, to: [i, j], token});
     sel = null; render(r);
   } else {
-    render(await api('/api/move', {game, to: [i, j]}));
+    render(await api('/api/move', {game, to: [i, j], token}));
   }
 }
 init();
@@ -187,13 +254,41 @@ class GameSession:
         self.state = self.env.init()
         self.history = [self.state]
         self.lock = threading.Lock()
-        self.opponent = self._build_opponent(opponent)
+        # Human-vs-human modes (reference capability: boardgame/net.pyo +
+        # hnefatafl/net networked play, SURVEY.md §2.2): 'hotseat' = both
+        # seats from one browser; 'human' = networked — the creator takes
+        # human_seat, a second client claims the other seat via /api/join
+        # (token-checked moves), both poll /api/state.
+        self.mode = opponent if opponent in ("human", "hotseat") else "agent"
+        self.seat_tokens: dict = {}
+        self.joined = self.mode != "human"
+        self.opponent = (None if self.mode != "agent"
+                         else self._build_opponent(opponent))
         from alphazero_general_tpu.players.evaluator import MCTSEvaluator
 
         self.evaluator = MCTSEvaluator(
             self.env, self.args, max_search_time=1.0, max_sims=400,
             sims_per_tick=40,
         )
+
+    def issue_token(self, seat: int) -> str:
+        token = uuid.uuid4().hex[:16]
+        self.seat_tokens[token] = seat
+        return token
+
+    def join(self) -> dict:
+        """Second client claims the open seat (networked human-vs-human)."""
+        with self.lock:
+            if self.mode != "human":
+                return {"error": "not a networked human-vs-human game"}
+            if self.joined:
+                return {"error": "game is full"}
+            self.joined = True
+            seat = 1 - self.human_seat
+            out = self.view("opponent joined — game on")
+            out["token"] = self.issue_token(seat)
+            out["seat"] = seat
+            return out
 
     def _build_opponent(self, spec: str):
         from alphazero_general_tpu.cli.pit import build_player
@@ -290,19 +385,31 @@ class GameSession:
         analysis = self.evaluator.analysis
         # Eval bar: root value is from the mover's perspective.
         mover_value = analysis.value
-        human_to_move = int(self.state.player) == self.human_seat
-        eval_h = mover_value if human_to_move else 1.0 - mover_value
-        hints = []
+        human_to_move = (self.mode != "agent"
+                         or int(self.state.player) == self.human_seat)
+        ref_seat = self.human_seat if self.mode == "agent" else 0
+        eval_h = (mover_value if int(self.state.player) == ref_seat
+                  else 1.0 - mover_value)
+        hints, bad_hints = [], []
         if human_to_move and not terminal:
             for a in analysis.best_actions[:3]:
                 hints.append(self._cell_of_action(a))
+            for a in analysis.worst_actions[:2]:
+                bad_hints.append(self._cell_of_action(a))
         if terminal:
             if win[-1] and self.env.HAS_DRAW:
                 message = "draw"
             else:
                 winner = int(np.argmax(win[:-1]))
-                message = "you win!" if winner == self.human_seat \
-                    else "agent wins"
+                if self.mode == "agent":
+                    message = ("you win!" if winner == self.human_seat
+                               else "agent wins")
+                else:
+                    message = f"player {winner + 1} wins"
+        last_move = None
+        if int(self.state.last_action) >= 0:
+            last_move = self._cell_of_action(int(self.state.last_action),
+                                             placed=True)
         # Signed view for chess (int8), raw for others.
         rows = board.astype(np.int64)
         if self.env_name in FLIPPED_ENVS:
@@ -313,10 +420,14 @@ class GameSession:
             "turns": int(self.state.turns),
             "player": int(self.state.player),
             "human_seat": self.human_seat,
+            "mode": self.mode,
+            "joined": self.joined,
             "needs_two_clicks": self.env_name in TWO_CLICK_ENVS,
             "eval_for_human": float(np.clip(eval_h, 0.0, 1.0)),
             "analysis_sims": analysis.sims,
             "hints": hints,
+            "bad_hints": bad_hints,
+            "last_move": last_move,
             "message": message,
         }
         if self.env_name == "stratego":
@@ -332,13 +443,17 @@ class GameSession:
                 ]
         return out
 
-    def _cell_of_action(self, a: int):
+    def _cell_of_action(self, a: int, placed: bool = False):
+        """Board cell of an action: ``placed=False`` = where a candidate
+        move would land (hints), ``placed=True`` = where the already-played
+        move landed (last-move highlight — differs for connect4 drops)."""
         name = self.env_name
         if name == "connect4":
             board = np.asarray(self.state.board)
             col = board[:, a]
             filled = int(np.abs(col).sum())
-            return [len(col) - 1 - filled, int(a)]
+            row = len(col) - filled if placed else len(col) - 1 - filled
+            return [row, int(a)]
         if name in ("tictactoe", "othello", "gobang"):
             W = np.asarray(self.state.board).shape[1]
             return [a // W, a % W]
@@ -370,17 +485,32 @@ class GameSession:
 
     def start(self):
         with self.lock:
-            if self.human_seat == 1:
+            if self.mode == "agent" and self.human_seat == 1:
                 self._agent_move()
             self.evaluator.start(self.state)
-            return self.view("your move")
+            msg = ("share the game id — waiting for opponent to join"
+                   if self.mode == "human" else "your move")
+            out = self.view(msg)
+            if self.mode == "human":
+                out["token"] = self.issue_token(self.human_seat)
+                out["seat"] = self.human_seat
+            return out
 
-    def human_move(self, frm, to, piece=None) -> dict:
+    def human_move(self, frm, to, piece=None, token=None) -> dict:
         with self.lock:
             win = np.asarray(self.env.win_state(self.state))
             if win.any():
                 return self.view()
-            if int(self.state.player) != self.human_seat:
+            if self.mode == "human":
+                seat = self.seat_tokens.get(token)
+                if seat is None:
+                    return self.view("invalid seat token")
+                if not self.joined:
+                    return self.view("waiting for opponent to join")
+                if int(self.state.player) != seat:
+                    return self.view("not your turn")
+            elif self.mode == "agent" and \
+                    int(self.state.player) != self.human_seat:
                 return self.view("not your turn")
             try:
                 action = self._action_from_clicks(frm, to, piece=piece)
@@ -391,19 +521,24 @@ class GameSession:
                 return self.view("illegal move")
             self.state = self.env.step(self.state, action)
             self.history.append(self.state)
-            if not np.asarray(self.env.win_state(self.state)).any():
+            if self.mode == "agent" and \
+                    not np.asarray(self.env.win_state(self.state)).any():
                 self._agent_move()
             self.evaluator.start(self.state)
             return self.view("your move")
 
     def undo(self) -> dict:
         with self.lock:
-            # Pop back to the previous human-to-move state.
-            while len(self.history) > 1:
+            if self.mode == "agent":
+                # Pop back to the previous human-to-move state.
+                while len(self.history) > 1:
+                    self.history.pop()
+                    self.state = self.history[-1]
+                    if int(self.state.player) == self.human_seat:
+                        break
+            elif len(self.history) > 1:  # human modes: one move back
                 self.history.pop()
                 self.state = self.history[-1]
-                if int(self.state.player) == self.human_seat:
-                    break
             self.evaluator.start(self.state)
             return self.view("undone")
 
@@ -433,7 +568,11 @@ class TrainManager:
             from alphazero_general_tpu.train import Coach
 
             try:
-                args = preset_args(env_name, **(overrides or {}))
+                from alphazero_general_tpu.utils.config import _decode
+
+                decoded = {k: _decode(v)
+                           for k, v in (overrides or {}).items()}
+                args = preset_args(env_name, **decoded)
                 env = maybe_stack(get_env(env_name), args)
                 nnet = NNetWrapper(env, args)
                 self.coach = Coach(env, nnet, args)
@@ -512,6 +651,23 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
         elif self.path == "/api/envs":
             self._json({"envs": list_envs()})
+        elif self.path.startswith("/api/args"):
+            # Args-editor surface (reference: in-GUI args table,
+            # main.py:707-791 — JSON-typed values, no eval; keys starting
+            # with '_' are internal and hidden, main.py:713-715).
+            from alphazero_general_tpu.envs.presets import preset_args
+            from alphazero_general_tpu.utils.config import _encode
+
+            env_name = self.path.split("env=")[-1] if "env=" in self.path \
+                else "connect4"
+            try:
+                args = preset_args(env_name)
+            except Exception as e:
+                self._json({"error": str(e)}, 400)
+                return
+            encoded = {k: _encode(v) for k, v in sorted(args.items())
+                       if not k.startswith("_")}
+            self._json({"env": env_name, "args": encoded})
         elif self.path == "/api/train/status":
             self._json(_TRAIN.status())
         elif self.path.startswith("/api/state"):
@@ -550,7 +706,16 @@ class Handler(BaseHTTPRequestHandler):
                     self._json({"error": "unknown game"}, 404)
                     return
                 out = sess.human_move(payload.get("from"), payload.get("to"),
-                                      payload.get("piece"))
+                                      payload.get("piece"),
+                                      token=payload.get("token"))
+                out["game"] = payload["game"]
+                self._json(out)
+            elif self.path == "/api/join":
+                sess = _SESSIONS.get(payload.get("game"))
+                if not sess:
+                    self._json({"error": "unknown game"}, 404)
+                    return
+                out = sess.join()
                 out["game"] = payload["game"]
                 self._json(out)
             elif self.path == "/api/undo":

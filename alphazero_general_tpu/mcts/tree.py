@@ -999,6 +999,12 @@ def counts(tree: Tree) -> jnp.ndarray:
     return _root_child_stats(tree)[0]
 
 
+def root_child_stats(tree: Tree):
+    """Per-action root (visit counts, q values) — evaluator/GUI surface
+    (reference: MCTS.pyx:297-344 counts/value readers)."""
+    return _root_child_stats(tree)
+
+
 def probs(tree: Tree, temp: jnp.ndarray) -> jnp.ndarray:
     """Visit-count policy with temperature; temp == 0 → argmax one-hot
     (MCTS.pyx:308-327). Computed in log space so large 1/temp cannot overflow

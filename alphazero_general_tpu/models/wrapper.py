@@ -82,9 +82,27 @@ class NNetWrapper:
         )
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_process = jax.jit(self._process)
+        self.mesh = None
         self.elapsed_time = 0.0
         self.l_pi = 0.0
         self.l_v = 0.0
+
+    def attach_mesh(self, mesh) -> None:
+        """Run training data-parallel over ``mesh``: params/opt state
+        replicated, batches sharded on their leading axis, gradient psum over
+        ICI inserted by XLA (the TPU replacement for the reference's
+        single-GPU learner fed by DataLoader workers, Coach.py:466-469).
+        Call once after construction; checkpoint loads re-replicate."""
+        from alphazero_general_tpu.parallel.mesh import (
+            make_sharded_train_step, replicate_tree,
+        )
+
+        self.mesh = mesh
+        if mesh is None:
+            self._jit_train_step = jax.jit(self._train_step)
+            return
+        self._jit_train_step = make_sharded_train_step(self, mesh)
+        self.state = replicate_tree(self.state, mesh)
 
     # ------------------------------------------------------------------ eval
     def _process(self, variables, obs):
@@ -196,7 +214,21 @@ class NNetWrapper:
             for batch in batches:
                 if step >= train_steps:
                     break
-                batch = tuple(jnp.asarray(x) for x in batch)
+                if self.mesh is not None:
+                    from alphazero_general_tpu.parallel.mesh import (
+                        host_local_to_global,
+                    )
+
+                    n_dev = self.mesh.devices.size
+                    rows = (len(batch[0]) // n_dev) * n_dev
+                    if rows == 0:
+                        continue  # batch too small to shard evenly
+                    if rows != len(batch[0]):
+                        batch = tuple(x[:rows] for x in batch)
+                    batch = host_local_to_global(
+                        tuple(jnp.asarray(x) for x in batch), self.mesh)
+                else:
+                    batch = tuple(jnp.asarray(x) for x in batch)
                 self.state, (l_pi, l_v) = self._jit_train_step(
                     self.state, batch, lr
                 )
@@ -229,6 +261,10 @@ class NNetWrapper:
         with open(path + ".ckpt", "rb") as f:
             data = f.read()
         self.state = serialization.from_bytes(self.state, data)
+        if self.mesh is not None:
+            from alphazero_general_tpu.parallel.mesh import replicate_tree
+
+            self.state = replicate_tree(self.state, self.mesh)
 
     @classmethod
     def from_checkpoint(cls, env, folder: str, filename: str,

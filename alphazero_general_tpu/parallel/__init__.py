@@ -1,6 +1,8 @@
 from alphazero_general_tpu.parallel.mesh import (  # noqa: F401
     BATCH_AXIS,
     batch_sharding,
+    host_local_to_global,
+    init_distributed,
     make_mesh,
     make_sharded_play_chunk,
     make_sharded_train_step,
@@ -8,4 +10,5 @@ from alphazero_general_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_leading_axis,
     shard_selfplay_carry,
+    usable_devices,
 )

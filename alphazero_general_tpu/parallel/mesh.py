@@ -31,6 +31,97 @@ def make_mesh(num_devices: int = -1, devices=None) -> Mesh:
     return Mesh(np.array(devices), (BATCH_AXIS,))
 
 
+def usable_devices(requested: int, *batch_sizes: int) -> int:
+    """Largest device count ≤ ``requested`` that divides every batch size.
+
+    The game/batch axes are sharded evenly over the mesh; a batch that does
+    not divide would need padding, so the production path instead shrinks the
+    mesh (and warns) — the reference's analogue is capping worker count at
+    cpu_count (Coach.py:294)."""
+    n = jax.device_count() if requested in (-1, 0) else int(requested)
+    n = max(1, min(n, jax.device_count()))
+    sizes = [int(b) for b in batch_sizes if int(b) > 0]
+    d = n
+    while d > 1 and any(b % d for b in sizes):
+        d -= 1
+    if d != n:
+        print(f"[mesh] shrinking batch mesh {n} -> {d} devices so batch "
+              f"sizes {sizes} shard evenly")
+    return d
+
+
+def init_distributed() -> bool:
+    """Initialize multi-process JAX when a coordinator is configured.
+
+    Multi-host design (SURVEY.md §2.5 TPU equivalents): every host runs this
+    same program; ``jax.distributed.initialize`` discovers the coordinator
+    from the TPU/cluster environment (or JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID when set explicitly), after which
+    ``jax.devices()`` spans the whole slice and the batch mesh covers it.
+    Per-host duties: the Coach host loop is replicated (same args + seed →
+    same host-side decisions on every process); self-play carries are created
+    with :func:`host_local_to_global` so each host materializes only its own
+    shard of the game batch; RNG keys are identical on all hosts (the sharded
+    program splits per-game keys from them on device, so game streams never
+    collide across hosts). Returns True when distributed mode was activated.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    if addr and num and int(num) > 1:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(num),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
+        )
+        return True
+    try:  # TPU pod environments self-describe; harmless no-op elsewhere.
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    except Exception:
+        return False
+
+
+def local_rows(x) -> np.ndarray:
+    """Host-local rows of a batch-sharded global array.
+
+    Single-process: the whole array. Multi-process: only this host's shards
+    of the global batch, concatenated in index order — each host extracts
+    exactly its own games' records, so per-host sample files partition the
+    global sample set with no duplicates (the per-host data-feed /
+    sample-dedup story of SURVEY.md §2.5)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(
+        (s for s in x.addressable_shards),
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def host_local_to_global(tree, mesh: Mesh):
+    """Assemble a globally-sharded pytree from per-host local shards.
+
+    Single-process: equivalent to :func:`shard_leading_axis`. Multi-process:
+    each host passes arrays covering only its slice of the global batch
+    (global_batch / process_count rows) and the result is a global jax.Array
+    over the mesh — the per-host data feed of SURVEY.md §2.5."""
+    if jax.process_count() == 1:
+        return shard_leading_axis(tree, mesh)
+    from jax.experimental import multihost_utils
+
+    def spec(x):
+        if getattr(x, "ndim", 0) >= 1:
+            return P(BATCH_AXIS, *([None] * (x.ndim - 1)))
+        return P()
+
+    specs = jax.tree_util.tree_map(spec, tree)
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, specs)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis sharded over the batch axis."""
     return NamedSharding(mesh, P(BATCH_AXIS))
@@ -55,6 +146,14 @@ def shard_leading_axis(tree, mesh: Mesh):
 
 
 def replicate_tree(tree, mesh: Mesh):
+    if jax.process_count() > 1:
+        # Every host holds the full value (same params everywhere); assemble
+        # the replicated global array from the per-host copies.
+        from jax.experimental import multihost_utils
+
+        specs = jax.tree_util.tree_map(lambda _: P(), tree)
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, specs)
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
@@ -104,7 +203,13 @@ def make_sharded_play_chunk(env, cfg, apply_fn, num_moves: int, mesh: Mesh,
 
 
 def shard_selfplay_carry(carry, mesh: Mesh):
-    """Shard a SelfPlayState on the game axis; scalars replicated."""
+    """Shard a SelfPlayState on the game axis; scalars replicated.
+
+    Multi-process: the carry passed in covers only this host's slice of the
+    global game batch (global_batch / process_count games) and is assembled
+    into global arrays (see Coach.generate_self_play_data)."""
+    if jax.process_count() > 1:
+        return host_local_to_global(carry, mesh)
 
     def place(x):
         if getattr(x, "ndim", 0) >= 1 and x.shape[0] > 1:

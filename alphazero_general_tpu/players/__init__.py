@@ -4,6 +4,7 @@ from alphazero_general_tpu.players.players import (  # noqa: F401
     HumanConsolePlayer,
     MCTSPlayer,
     NNPlayer,
+    OneStepLookaheadPlayer,
     RandomPlayer,
     RawMCTSPlayer,
 )

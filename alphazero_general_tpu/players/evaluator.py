@@ -28,6 +28,9 @@ import alphazero_general_tpu.mcts.tree as T
 class Analysis:
     value: float = 0.5
     best_actions: List[int] = field(default_factory=list)
+    #: visited root actions with the lowest q — the GUI's worst-move hints
+    #: (reference: CustomGUI.py:463-507 best/worst move display)
+    worst_actions: List[int] = field(default_factory=list)
     policy: Optional[np.ndarray] = None
     depth: int = 0
     sims: int = 0
@@ -135,15 +138,22 @@ class MCTSEvaluator:
 
     # ------------------------------------------------------------- internals
     def _publish(self, trees, sims_done: int, elapsed: float, running: bool):
-        counts = np.asarray(jax.vmap(T.counts)(trees))[0]
+        counts_b, q_b = jax.vmap(T.root_child_stats)(trees)
+        counts = np.asarray(counts_b)[0]
+        q = np.asarray(q_b)[0]
         order = np.argsort(-counts)
         best = [int(a) for a in order[: self.num_best] if counts[a] > 0]
+        visited = counts > 0
+        worst_order = np.argsort(np.where(visited, q, np.inf))
+        worst = [int(a) for a in worst_order[: self.num_best]
+                 if visited[a] and int(a) not in best]
         value = float(jax.vmap(lambda t: T.root_value(t))(trees)[0])
         policy = counts / counts.sum() if counts.sum() else None
         with self._lock:
             self._analysis = Analysis(
                 value=value,
                 best_actions=best,
+                worst_actions=worst,
                 policy=policy,
                 depth=int(trees.max_depth[0]),
                 sims=sims_done,

@@ -303,6 +303,54 @@ class NativeRawMCTSPlayer(BasePlayer):
         self.temp = float(self.args.startTemp)
 
 
+class OneStepLookaheadPlayer(BasePlayer):
+    """Env-generic one-step lookahead baseline (reference:
+    envs/connect4/players.py:26-69 ``OneStepLookaheadConnect4Player``,
+    generalized through ``win_state`` so every env gets the baseline):
+    play an immediate win when one exists, otherwise avoid moves that hand
+    the next player an immediate winning reply (two-ply scan, skipped for
+    action spaces larger than ``block_scan_limit``), otherwise uniform
+    random over the remaining moves."""
+
+    def __init__(self, game_cls=None, args=None, seed: int = 0,
+                 block_scan_limit: int = 512, **kw):
+        super().__init__(game_cls, args, **kw)
+        self._rng = np.random.default_rng(seed)
+        self.block_scan_limit = block_scan_limit
+        import jax
+
+        self._step = jax.jit(game_cls.step)
+        self._win = jax.jit(game_cls.win_state)
+        self._valid = jax.jit(game_cls.valid_moves)
+
+    def play(self, state) -> int:
+        env = self.game_cls
+        valids = np.flatnonzero(np.asarray(self._valid(state)))
+        me = int(state.player)
+        scan_blocks = env.ACTION_SIZE <= self.block_scan_limit
+        wins, safe = [], []
+        for a in valids:
+            nxt = self._step(state, int(a))
+            w = np.asarray(self._win(nxt))
+            if w[me] > 0:
+                wins.append(int(a))
+                break  # an immediate win needs no further scanning
+            if np.any(w > 0):
+                continue  # loss/draw for us — only if nothing else exists
+            if scan_blocks:
+                opp = int(nxt.player)
+                replies = np.flatnonzero(np.asarray(self._valid(nxt)))
+                danger = any(
+                    np.asarray(self._win(self._step(nxt, int(b))))[opp] > 0
+                    for b in replies
+                )
+                if danger:
+                    continue
+            safe.append(int(a))
+        pool = wins or safe or list(map(int, valids))
+        return int(self._rng.choice(pool))
+
+
 class GreedyValuePlayer(BasePlayer):
     """One-ply lookahead on env.crude_value (reference per-env greedy players,
     e.g. envs/hnefatafl/players.py:36-71)."""

@@ -1,24 +1,38 @@
-"""Batched two-model arena — jitted model comparison.
+"""Batched N-model arena — jitted model comparison.
 
 Replaces the reference Arena (reference: alphazero/Arena.pyx:58-376): instead
 of re-using the multiprocess self-play agents with per-player batch queues
-(the path flagged in-code as ~10x slower than self-play, Arena.pyx:209), both
+(the path flagged in-code as ~10x slower than self-play, Arena.pyx:209), all
 models are resident on device and every move round evaluates the whole game
-batch under jit — per-game seat assignment selects which model's output to
-use. As in the reference batched arena, the model of the player to move at the
-*root* evaluates that game's entire search for the move
+batch under jit. As in the reference batched arena, the model of the player to
+move at the *root* evaluates that game's entire search for the move
 (SelfPlayAgent.pyx:117-121), no root noise / no root temperature is applied
 (SelfPlayAgent.pyx:148-151), and the move temperature is args.arenaTemp
 (SelfPlayAgent.pyx:156-158).
 
-Seats alternate across the batch (first half straight, second half swapped),
-the vectorized equivalent of the reference's per-worker seat shuffle
-(SelfPlayAgent.pyx:44-47) / sequential alternation (Arena.pyx:332-337).
+Seat assignment and per-model routing (the TPU version of the reference's
+per-player batch queues, Arena.pyx:264-281): the batch is split into
+NUM_PLAYERS contiguous seat-rotation groups — in group k, model m plays
+player (m + k) % N — so every model sees every seat equally (the vectorized
+equivalent of the per-worker seat shuffle, SelfPlayAgent.pyx:44-47 /
+sequential alternation, Arena.pyx:332-337). Because every env in the registry
+advances ``player = (player + 1) % N`` on each step (envs/core.py
+``next_player``), the player to move in every *running* game at move round t
+is ``t % N``, i.e. the model owning each group is batch-uniform per round.
+Each model therefore evaluates exactly one group (B/N observations) per sim
+step — total network work is one model-forward per game per sim step,
+matching self-play cost, instead of evaluating every model on every game
+(finished games stay frozen and are evaluated by whichever model owns their
+group; their searches are discarded). Envs that ever skip a player's turn
+must set ``ALTERNATES = False`` to force the evaluate-all fallback.
+
+N-player support matches the reference's players-list arena (Arena.pyx:58-76,
+README.md:16): pass one (apply_fn, variables) per player seat.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -61,36 +75,76 @@ class ArenaConfig(NamedTuple):
 class ArenaResult:
     """Per-game outcome, seat-remapped to model indices."""
 
-    model_wins: jnp.ndarray  # f32[2]
+    model_wins: jnp.ndarray  # f32[M]
     draws: jnp.ndarray  # f32
     avg_game_length: jnp.ndarray  # f32
     num_games: jnp.ndarray  # i32
 
 
-def play_games(env, cfg: ArenaConfig, apply_fn, variables_a, variables_b,
-               num_games: int, rng, apply_fn_b=None):
-    """Play ``num_games`` games of model A vs model B; returns ArenaResult.
+def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
+                     variables_list: Sequence, num_games: int, rng,
+                     shard=None):
+    """Play ``num_games`` games between ``N = env.NUM_PLAYERS`` models;
+    returns ArenaResult with ``model_wins[m]`` = wins of ``apply_fns[m]``.
 
-    Half the games have A as player 0, half B (num_games must be even).
-    Jittable end-to-end; callers typically wrap in jax.jit via
-    :func:`make_arena_fn`. ``apply_fn_b`` lets model B use a different
-    apply function (e.g. the model-free RawMCTS baseline,
-    GenericPlayers.py:198-200).
+    ``num_games`` must be divisible by N (each seat-rotation group holds
+    B/N games). Jittable end-to-end; wrap via :func:`make_multi_arena_fn`.
+    ``shard`` (optional NamedSharding) constrains per-game arrays so the game
+    batch shards over a device mesh.
     """
+    N = env.NUM_PLAYERS
+    if len(apply_fns) != N:
+        raise ValueError(f"need {N} (apply_fn, variables) pairs, "
+                         f"got {len(apply_fns)}")
     B = num_games
-    apply_b = apply_fn_b or apply_fn
-    seat = (jnp.arange(B) >= B // 2).astype(jnp.int32)  # 0: A first, 1: B first
-    states = jax.vmap(lambda _: env.init())(jnp.arange(B))
+    if B % N:
+        raise ValueError(f"num_games={B} must be divisible by NUM_PLAYERS={N}")
+    G = B // N
+    A = env.ACTION_SIZE
     value_size = cfg.spec.value_size
+    alternates = bool(getattr(env, "ALTERNATES", True))
 
-    def eval_both(obs, model_idx):
-        """Evaluate obs with both models, select per game by model_idx."""
-        pa, va = apply_fn(variables_a, obs)
-        pb, vb = apply_b(variables_b, obs)
-        sel = (model_idx == 0)[:, None]
-        pi = jnp.where(sel, jnp.exp(pa), jnp.exp(pb))
-        v = jnp.where(sel, jnp.exp(va), jnp.exp(vb))
+    def constrain(tree):
+        if shard is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, shard)
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B else x,
+            tree,
+        )
+
+    states = constrain(jax.vmap(lambda _: env.init())(jnp.arange(B)))
+
+    def eval_grouped(obs, t):
+        """One model-forward per group: model m evaluates group (t - m) % N
+        (the group whose running games have player m+k ≡ t to move)."""
+        og = obs.reshape((N, G) + obs.shape[1:])
+        pi = jnp.zeros((N, G, A), jnp.float32)
+        v = jnp.zeros((N, G, value_size), jnp.float32)
+        for m in range(N):
+            gm = (t - m) % N
+            obs_m = jax.lax.dynamic_index_in_dim(og, gm, 0, keepdims=False)
+            pm, vm = apply_fns[m](variables_list[m], obs_m)
+            pi = jax.lax.dynamic_update_index_in_dim(
+                pi, jnp.exp(pm).astype(jnp.float32), gm, 0)
+            v = jax.lax.dynamic_update_index_in_dim(
+                v, jnp.exp(vm).astype(jnp.float32), gm, 0)
+        return pi.reshape(B, A), v.reshape(B, value_size)
+
+    def eval_all(obs, model_idx):
+        """Fallback for non-alternating envs: every model evaluates the whole
+        batch, per-game select (the pre-rework path)."""
+        pi = jnp.zeros((B, A), jnp.float32)
+        v = jnp.zeros((B, value_size), jnp.float32)
+        for m in range(N):
+            pm, vm = apply_fns[m](variables_list[m], obs)
+            sel = (model_idx == m)[:, None]
+            pi = jnp.where(sel, jnp.exp(pm).astype(jnp.float32), pi)
+            v = jnp.where(sel, jnp.exp(vm).astype(jnp.float32), v)
         return pi, v
+
+    # group index of every game (games are laid out group-contiguously)
+    group = jnp.repeat(jnp.arange(N), G)
 
     def cond(carry):
         states, done, result, length, t, rng = carry
@@ -100,14 +154,16 @@ def play_games(env, cfg: ArenaConfig, apply_fn, variables_a, variables_b,
         states, done, result, length, t, rng = carry
         rng, r_search, r_action = jax.random.split(rng, 3)
 
-        model_idx = (states.player + seat) % 2  # model evaluating each game
+        if alternates:
+            eval_fn = lambda obs: eval_grouped(obs, t)  # noqa: E731
+        else:
+            # model of game g = model m with (m + group[g]) % N == player[g]
+            model_idx = (states.player - group) % N
+            eval_fn = lambda obs: eval_all(obs, model_idx)  # noqa: E731
 
-        trees = S.init_batched_trees(env, states, cfg.capacity, value_size)
-        trees = S.search(
-            env, trees, cfg.spec,
-            lambda obs: eval_both(obs, model_idx),
-            cfg.sims, r_search,
-        )
+        trees = constrain(
+            S.init_batched_trees(env, states, cfg.capacity, value_size))
+        trees = S.search(env, trees, cfg.spec, eval_fn, cfg.sims, r_search)
         pi = jax.vmap(lambda tr: T.probs(tr, cfg.arena_temp))(trees)
         action = jax.random.categorical(
             r_action, jnp.log(jnp.maximum(pi, 1e-30)), axis=-1
@@ -128,37 +184,86 @@ def play_games(env, cfg: ArenaConfig, apply_fn, variables_a, variables_b,
 
     init = (
         states,
-        jnp.zeros((B,), jnp.bool_),
-        jnp.zeros((B, value_size), jnp.float32),
-        jnp.zeros((B,), jnp.int32),
+        constrain(jnp.zeros((B,), jnp.bool_)),
+        constrain(jnp.zeros((B, value_size), jnp.float32)),
+        constrain(jnp.zeros((B,), jnp.int32)),
         jnp.int32(0),
         rng,
     )
     states, done, result, length, t, rng = jax.lax.while_loop(cond, body, init)
 
-    # Seat remap: player p of game b is model (p + seat[b]) % 2
+    # Seat remap: model m of group k played player (m + k) % N
     # (reference: player_to_index remap, Arena.pyx:291-299, utils.py:34-54).
-    win_p0 = result[:, 0]
-    win_p1 = result[:, 1]
-    draws = result[:, 2] if value_size > 2 else jnp.zeros((B,))
-    a_wins = jnp.sum(jnp.where(seat == 0, win_p0, win_p1))
-    b_wins = jnp.sum(jnp.where(seat == 0, win_p1, win_p0))
+    grouped = result.reshape(N, G, value_size)  # [group, game, value]
+    model_wins = []
+    for m in range(N):
+        w = 0.0
+        for k in range(N):
+            w = w + jnp.sum(grouped[k, :, (m + k) % N])
+        model_wins.append(w)
+    draws = (jnp.sum(result[:, N]) if value_size > N
+             else jnp.zeros((), jnp.float32))
     return ArenaResult(
-        model_wins=jnp.stack([a_wins, b_wins]),
-        draws=jnp.sum(draws),
+        model_wins=jnp.stack(model_wins),
+        draws=draws,
         avg_game_length=jnp.mean(length.astype(jnp.float32)),
         num_games=jnp.int32(B),
     )
 
 
+def play_games(env, cfg: ArenaConfig, apply_fn, variables_a, variables_b,
+               num_games: int, rng, apply_fn_b=None, shard=None):
+    """Two-model wrapper over :func:`play_games_multi` (the common case:
+    gating/baseline arenas, Coach.py:527-590). ``apply_fn_b`` lets model B use
+    a different apply function (e.g. the model-free RawMCTS baseline,
+    GenericPlayers.py:198-200)."""
+    apply_b = apply_fn_b or apply_fn
+    return play_games_multi(
+        env, cfg, [apply_fn, apply_b], [variables_a, variables_b],
+        num_games, rng, shard=shard,
+    )
+
+
 def make_arena_fn(env, cfg: ArenaConfig, apply_fn, num_games: int,
-                  apply_fn_b=None):
-    """Jitted arena bound to model apply function(s); params are runtime args."""
+                  apply_fn_b=None, mesh=None):
+    """Jitted two-model arena; params are runtime args."""
+
+    shard = None
+    rep = None
+    if mesh is not None:
+        from alphazero_general_tpu.parallel.mesh import batch_sharding, replicated
+
+        shard = batch_sharding(mesh)
+        rep = replicated(mesh)
 
     def run(variables_a, variables_b, rng):
         return play_games(env, cfg, apply_fn, variables_a, variables_b,
-                          num_games, rng, apply_fn_b=apply_fn_b)
+                          num_games, rng, apply_fn_b=apply_fn_b, shard=shard)
 
+    if mesh is not None:
+        return jax.jit(run, in_shardings=(rep, rep, None))
+    return jax.jit(run)
+
+
+def make_multi_arena_fn(env, cfg: ArenaConfig, apply_fns: Sequence,
+                        num_games: int, mesh=None):
+    """Jitted N-model arena (reference: Arena players list, Arena.pyx:58-76);
+    returns ``run(variables_list, rng) -> ArenaResult``."""
+
+    shard = None
+    rep = None
+    if mesh is not None:
+        from alphazero_general_tpu.parallel.mesh import batch_sharding, replicated
+
+        shard = batch_sharding(mesh)
+        rep = replicated(mesh)
+
+    def run(variables_list, rng):
+        return play_games_multi(env, cfg, apply_fns, variables_list,
+                                num_games, rng, shard=shard)
+
+    if mesh is not None:
+        return jax.jit(run, in_shardings=([rep] * len(apply_fns), None))
     return jax.jit(run)
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 from glob import glob
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,24 +23,27 @@ import numpy as np
 from alphazero_general_tpu.utils.misc import get_iter_file
 
 
-def finalize_trajectories(records, symmetric: bool, env) -> Tuple[np.ndarray, ...]:
-    """records: stacked MoveRecord pytree [K, B, ...] (time-major).
+def finalize_sparse(win, done, fast, obs_f, pi_f, full_idx, symmetric: bool,
+                    env) -> Tuple[np.ndarray, ...]:
+    """Attach episode results to samples and expand symmetries.
 
-    Returns (obs [N, C, H, W], pi [N, A], value [N, V]) numpy arrays, where N
-    includes symmetry expansion. Samples from unfinished games and fast-sim
-    moves are dropped (SelfPlayAgent.pyx:161-165, 84-86).
+    Sparse-sample form: the self-play loop only materializes observations and
+    policies for non-fast move rounds (fast-sim samples are discarded anyway,
+    SelfPlayAgent.pyx:84-86, 161-165), so ``obs_f [Kf, B, ...]`` /
+    ``pi_f [Kf, B, A]`` cover just the ``Kf`` rounds listed in ``full_idx``
+    while ``win [K, B, V]`` / ``done [K, B]`` / ``fast [K]`` cover every
+    round. Returns (obs [N, C, H, W], pi [N, A], value [N, V]) float32 numpy
+    arrays; samples from unfinished games are dropped.
     """
-    obs = np.asarray(records.obs)          # [K, B, C, H, W]
-    pi = np.asarray(records.pi)            # [K, B, A]
-    win = np.asarray(records.win_state)    # [K, B, V]
-    done = np.asarray(records.done)        # [K, B]
-    fast = np.asarray(records.fast)        # [K]
+    win = np.asarray(win)
+    done = np.asarray(done)
+    fast = np.asarray(fast)
     K, B = done.shape
     V = win.shape[-1]
 
     # Reverse fill: value target of move t = win vector of the episode end at
-    # or after t (episodes delimited by done flags).
-    values = np.zeros_like(win)
+    # or after t (episodes delimited by done flags); vectorized over B.
+    values = np.zeros((K, B, V), np.float32)
     valid = np.zeros((K, B), dtype=bool)
     pending = np.zeros((B, V), np.float32)
     have = np.zeros((B,), dtype=bool)
@@ -51,10 +54,17 @@ def finalize_trajectories(records, symmetric: bool, env) -> Tuple[np.ndarray, ..
         values[t] = pending
         valid[t] = have & ~fast[t]
 
-    mask = valid.reshape(-1)
-    obs = obs.reshape((K * B,) + obs.shape[2:])[mask]
-    pi = pi.reshape(K * B, -1)[mask]
-    values = values.reshape(K * B, V)[mask]
+    full_idx = np.asarray(full_idx)
+    Kf = len(full_idx)
+    if Kf == 0:
+        A = np.asarray(pi_f).shape[-1] if np.asarray(pi_f).ndim else 0
+        return (np.zeros((0,) + np.asarray(obs_f).shape[2:], np.float32),
+                np.zeros((0, A), np.float32), np.zeros((0, V), np.float32))
+    mask = valid[full_idx].reshape(-1)  # [Kf*B]
+    obs = np.asarray(obs_f, np.float32).reshape(
+        (Kf * B,) + obs_f.shape[2:])[mask]
+    pi = np.asarray(pi_f, np.float32).reshape(Kf * B, -1)[mask]
+    values = values[full_idx].reshape(Kf * B, V)[mask]
 
     if symmetric and env.NUM_SYMMETRIES > 1 and len(obs):
         sym = jax.jit(jax.vmap(env.symmetries))
@@ -67,29 +77,47 @@ def finalize_trajectories(records, symmetric: bool, env) -> Tuple[np.ndarray, ..
     return obs.astype(np.float32), pi.astype(np.float32), values.astype(np.float32)
 
 
-def game_stats(records) -> Tuple[np.ndarray, int, float]:
-    """Wins-per-player / draws / average game length from trajectory records
-    (reference: utils.py:34-54 get_game_results)."""
-    win = np.asarray(records.win_state)  # [K, B, V]
+def finalize_trajectories(records, symmetric: bool, env) -> Tuple[np.ndarray, ...]:
+    """Dense-record form of :func:`finalize_sparse`: records is a stacked
+    MoveRecord pytree [K, B, ...] (time-major) carrying obs/pi for every
+    round (play_chunk output)."""
     done = np.asarray(records.done)
-    player = np.asarray(records.player)
+    K = done.shape[0]
+    return finalize_sparse(
+        records.win_state, done, np.asarray(records.fast),
+        np.asarray(records.obs), np.asarray(records.pi), np.arange(K),
+        symmetric, env,
+    )
+
+
+def game_stats_arrays(win, done) -> Tuple[np.ndarray, int, float]:
+    """Wins-per-player / draws / average game length
+    (reference: utils.py:34-54 get_game_results). Vectorized: episode length
+    at each done flag = distance to the previous done flag in its column."""
+    win = np.asarray(win)  # [K, B, V]
+    done = np.asarray(done)
     V = win.shape[-1]
     finished = win[done]  # [G, V]
     wins = finished[:, : V - 1].sum(axis=0)
     draws = int(finished[:, V - 1].sum())
-    # Game length: reconstruct from done flags per column.
-    lengths: List[int] = []
-    K, B = done.shape
-    for b in range(B):
-        last = -1
-        for t in range(K):
-            if done[t, b]:
-                # turns at the move that ended the game, relative to episode
-                lengths.append(t - last)
-                last = t
-    avg_len = float(np.mean(lengths)) if lengths else 0.0
-    del player
+    b_idx, t_idx = np.nonzero(done.T)  # sorted by column, then time
+    if len(t_idx):
+        first = np.empty(len(b_idx), dtype=bool)
+        first[0] = True
+        first[1:] = b_idx[1:] != b_idx[:-1]
+        prev = np.empty_like(t_idx)
+        prev[0] = -1
+        prev[1:] = t_idx[:-1]
+        prev[first] = -1
+        avg_len = float(np.mean(t_idx - prev))
+    else:
+        avg_len = 0.0
     return wins, draws, avg_len
+
+
+def game_stats(records) -> Tuple[np.ndarray, int, float]:
+    """Dense-record form of :func:`game_stats_arrays`."""
+    return game_stats_arrays(records.win_state, records.done)
 
 
 class ReplayStore:
@@ -99,9 +127,16 @@ class ReplayStore:
     def __init__(self, data_dir: str, run_name: str):
         self.folder = os.path.join(data_dir, run_name)
         os.makedirs(self.folder, exist_ok=True)
+        # Multi-process runs: each host stores/loads only its own slice of
+        # the sample set (per-host data feed, parallel/mesh.py) under a
+        # process-suffixed filename so hosts never clobber each other.
+        self._suffix = ""
+        if jax.process_count() > 1:
+            self._suffix = f"-p{jax.process_index()}"
 
     def path(self, iteration: int) -> str:
-        return os.path.join(self.folder, get_iter_file(iteration) + ".npz")
+        return os.path.join(
+            self.folder, get_iter_file(iteration) + self._suffix + ".npz")
 
     def save(self, iteration: int, obs, pi, value) -> str:
         p = self.path(iteration)
@@ -116,7 +151,8 @@ class ReplayStore:
             return z["obs"], z["pi"], z["value"]
 
     def num_iterations(self) -> int:
-        return len(glob(os.path.join(self.folder, "iteration-*.npz")))
+        return len(glob(os.path.join(
+            self.folder, "iteration-*" + self._suffix + ".npz")))
 
     def load_window(self, first_iter: int, last_iter: int):
         """Concatenate samples of iterations [first_iter, last_iter]."""

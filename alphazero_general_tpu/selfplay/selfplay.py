@@ -57,6 +57,10 @@ class SelfPlayConfig(NamedTuple):
     # opt-in; see mcts/search._round_step_t). Requires the fresh-tree
     # game-minor kernel path; other paths silently run 1.
     leaf_batch: int = 1
+    # With tree reuse: restart a game's tree from scratch once it holds more
+    # than this many nodes (reference: mctsResetThreshold,
+    # SelfPlayAgent.pyx:172-174). 0 = only the capacity-overflow restart.
+    reset_threshold: int = 0
     spec: T.SearchSpec = T.SearchSpec()
 
     @property
@@ -93,6 +97,7 @@ class SelfPlayConfig(NamedTuple):
             tree_capacity=int(args.get("max_tree_nodes", 0)),
             reuse_tree=bool(args.get("reuse_tree", False)),
             leaf_batch=int(args.get("leaf_batch", 1)),
+            reset_threshold=int(args.get("mctsResetThreshold") or 0),
             spec=spec,
         )
 
@@ -240,6 +245,10 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
             rerooted.next_free + max(cfg.sims_full, cfg.sims_warmup) + 1
             > cfg.capacity
         )
+        if cfg.reset_threshold > 0:
+            # Periodic tree reset knob (mctsResetThreshold,
+            # SelfPlayAgent.pyx:172-174) on top of the capacity fallback.
+            overflow = overflow | (rerooted.next_free > cfg.reset_threshold)
         restart = done | overflow
         fresh_trees = S.init_batched_trees(
             env, next_states, cfg.capacity, cfg.spec.value_size
@@ -280,8 +289,14 @@ def make_move_fns(env, cfg: SelfPlayConfig, apply_fn, mesh=None):
     Returns dict with 'fast', 'full', 'warmup' → jitted
     ``fn(variables, carry, rng) -> (carry, MoveRecord)``. Pass ``mesh`` to
     shard the game batch over devices (params replicated).
+
+    Record slimming (host→device bandwidth is a production bottleneck at
+    tafl scale — VERDICT.md weak#6): the 'fast' program returns obs/pi as
+    None (fast-sim samples are discarded by finalize anyway,
+    SelfPlayAgent.pyx:84-86), and sample payloads of the other programs are
+    downcast to float16 on device (board planes are exactly representable;
+    π entries round at ~0.05%).
     """
-    import functools
 
     def build(sims, fast_flag, warmup):
         def run(variables, carry, rng):
@@ -289,9 +304,16 @@ def make_move_fns(env, cfg: SelfPlayConfig, apply_fn, mesh=None):
                 logp, logv = apply_fn(variables, obs)
                 return jnp.exp(logp), jnp.exp(logv)
 
-            return move_step(env, cfg, eval_fn, carry, rng, warmup=warmup,
-                             sims_override=None if warmup else sims,
-                             fast_flag=fast_flag)
+            carry, rec = move_step(env, cfg, eval_fn, carry, rng,
+                                   warmup=warmup,
+                                   sims_override=None if warmup else sims,
+                                   fast_flag=fast_flag)
+            if fast_flag:
+                rec = rec.replace(obs=None, pi=None)
+            else:
+                rec = rec.replace(obs=rec.obs.astype(jnp.float16),
+                                  pi=rec.pi.astype(jnp.float16))
+            return carry, rec
 
         if mesh is not None:
             from alphazero_general_tpu.parallel.mesh import replicated
@@ -300,7 +322,6 @@ def make_move_fns(env, cfg: SelfPlayConfig, apply_fn, mesh=None):
             return jax.jit(run, in_shardings=(rep, None, rep))
         return jax.jit(run)
 
-    del functools
     return {
         "fast": build(cfg.sims_fast, True, False),
         "full": build(cfg.sims_full, False, False),

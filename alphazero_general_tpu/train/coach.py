@@ -31,8 +31,8 @@ from alphazero_general_tpu.selfplay.arena import (
 from alphazero_general_tpu.selfplay.replay import (
     ReplayStore,
     batch_iterator,
-    finalize_trajectories,
-    game_stats,
+    finalize_sparse,
+    game_stats_arrays,
     history_window,
 )
 from alphazero_general_tpu.selfplay.selfplay import (
@@ -43,6 +43,16 @@ from alphazero_general_tpu.selfplay.selfplay import (
 from alphazero_general_tpu.utils.config import Args
 from alphazero_general_tpu.utils.metrics import make_writer
 from alphazero_general_tpu.utils.misc import get_iter_file
+
+
+def _copy_to_host_async(tree) -> None:
+    """Start device→host copies early so record transfers overlap compute
+    (device_get at stack time then finds the bytes already on host)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            return
 
 
 class TrainState(Enum):
@@ -68,6 +78,26 @@ class Coach:
         self.args._num_players = env.NUM_PLAYERS + int(env.HAS_DRAW)
         self.train_net = nnet
         self.self_play_net = NNetWrapper(env, args)
+
+        # Device mesh over the game/batch axis (args.mesh_batch_axis, -1 =
+        # all devices). This is the production multi-chip path — the TPU
+        # replacement for the reference's per-CPU-core actor fan-out + single
+        # GPU learner (Coach.py:290-361): self-play carries, train batches and
+        # arena games shard over it; parameters replicate.
+        from alphazero_general_tpu.parallel.mesh import make_mesh, usable_devices
+
+        n_dev = usable_devices(
+            int(args.get("mesh_batch_axis", -1)),
+            int(args.process_batch_size),
+            int(args.train_batch_size),
+            int(args.arenaCompare),
+            int(args.arenaCompareBaseline),
+        )
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if self.mesh is not None:
+            print(f"[mesh] data-parallel over {n_dev} devices")
+            self.train_net.attach_mesh(self.mesh)
+            self.self_play_net.attach_mesh(self.mesh)
 
         self.ckpt_folder = os.path.join(args.checkpoint, args.run_name)
         os.makedirs(self.ckpt_folder, exist_ok=True)
@@ -117,7 +147,14 @@ class Coach:
 
     # ------------------------------------------------------------- utilities
     def _save_model(self, net: NNetWrapper, iteration: int) -> None:
-        net.save_checkpoint(self.ckpt_folder, get_iter_file(iteration))
+        # Params are identical on every host (global-batch grad psum);
+        # process 0 writes, others wait at the barrier before loading.
+        if jax.process_index() == 0:
+            net.save_checkpoint(self.ckpt_folder, get_iter_file(iteration))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_saved")
 
     def _load_model(self, net: NNetWrapper, iteration: int) -> None:
         net.load_checkpoint(self.ckpt_folder, get_iter_file(iteration))
@@ -139,6 +176,9 @@ class Coach:
 
     def _save_run_state(self) -> None:
         import json
+
+        if jax.process_index() != 0:
+            return
 
         with open(self._run_state_path(), "w") as f:
             json.dump({
@@ -194,7 +234,7 @@ class Coach:
             else:
                 apply_fn = self._apply_fn()
             self._chunk_fns[key] = make_move_fns(
-                self.env, self._chunk_fns["cfg"], apply_fn)
+                self.env, self._chunk_fns["cfg"], apply_fn, mesh=self.mesh)
         return self._chunk_fns["cfg"], self._chunk_fns[key]
 
     # ------------------------------------------------------------ main loop
@@ -276,8 +316,32 @@ class Coach:
             variables = net.state.variables
         cfg, fns = self._move_fns(quant=quant)
 
-        carry = init_selfplay(self.env, batch, cfg.start_temp, cfg=cfg)
-        records = []
+        # process_batch_size is the GLOBAL game batch; each host materializes
+        # only its own slice (multi-host per-host feed, parallel/mesh.py).
+        local_batch = batch
+        if self.mesh is not None:
+            local_batch = batch // jax.process_count()
+        carry = init_selfplay(self.env, local_batch, cfg.start_temp, cfg=cfg)
+        if self.mesh is not None:
+            from alphazero_general_tpu.parallel.mesh import (
+                replicate_tree, shard_selfplay_carry,
+            )
+
+            variables = replicate_tree(variables, self.mesh)
+            carry = shard_selfplay_carry(carry, self.mesh)
+        # Pipelined move loop: never block on the newest step — read the
+        # completed-game counter PIPE moves behind the dispatch frontier so
+        # the device (and the tunnel's ~20 ms dispatch latency) stays busy;
+        # record payloads stream back via async host copies. Meta fields
+        # (win/done/player/action) are kept for every round; obs/π only for
+        # non-fast rounds (finalize discards fast samples anyway).
+        from collections import deque
+
+        PIPE = 8
+        meta = []          # per-round (player, action, win_state, done)
+        sample_rounds = [] # (round_idx, obs_f16, pi_f16) for non-fast rounds
+        fast_flags = []
+        pending = deque()
         start = time.time()
         games_done = 0
         while games_done < target and not self.stop_train.is_set():
@@ -291,27 +355,52 @@ class Coach:
                     self._np_rng.random() < cfg.prob_fast
                 ) else "full"
             carry, rec = fns[kind](variables, carry, self._next_rng())
-            records.append(jax.device_get(rec))
-            games_done = int(carry.games_played)
-            self.games_played_iter = games_done
+            k = len(fast_flags)
+            fast_flags.append(kind == "fast")
+            m = (rec.player, rec.action, rec.win_state, rec.done)
+            meta.append(m)
+            _copy_to_host_async(m)
+            if rec.obs is not None:
+                sample_rounds.append((k, rec.obs, rec.pi))
+                _copy_to_host_async((rec.obs, rec.pi))
+            pending.append(carry.games_played)
+            while len(pending) > PIPE:
+                games_done = int(pending.popleft())
+                self.games_played_iter = games_done
+        games_done = int(carry.games_played)
+        self.games_played_iter = games_done
 
         elapsed = time.time() - start
         self.sample_time = elapsed / max(games_done, 1)
 
         self.state = TrainState.SAVE_SAMPLES
-        # One MoveRecord [B, ...] per move → stack time-major [K, B, ...].
-        rec = jax.tree_util.tree_map(
-            lambda *xs: np.stack(xs, axis=0), *records
-        )
-        obs, pi, value = finalize_trajectories(
-            rec, symmetric=bool(self.args.symmetricSamples), env=self.env
+        # local_rows = this host's shard of the global game batch — under
+        # multi-process each host keeps exactly its own games' samples
+        # (parallel/mesh.py per-host data feed; no cross-host duplicates).
+        from alphazero_general_tpu.parallel.mesh import local_rows
+
+        win = np.stack([local_rows(m[2]) for m in meta], axis=0)  # [K, B, V]
+        done = np.stack([local_rows(m[3]) for m in meta], axis=0)  # [K, B]
+        fast = np.asarray(fast_flags)
+        if sample_rounds:
+            full_idx = np.array([s[0] for s in sample_rounds])
+            obs_f = np.stack([local_rows(s[1]) for s in sample_rounds])
+            pi_f = np.stack([local_rows(s[2]) for s in sample_rounds])
+        else:
+            B_, A_ = done.shape[1], self.env.ACTION_SIZE
+            full_idx = np.zeros((0,), np.int64)
+            obs_f = np.zeros((0, B_) + tuple(self.env.OBS_SHAPE), np.float16)
+            pi_f = np.zeros((0, B_, A_), np.float16)
+        obs, pi, value = finalize_sparse(
+            win, done, fast, obs_f, pi_f, full_idx,
+            symmetric=bool(self.args.symmetricSamples), env=self.env,
         )
         print(f"Saving {len(obs)} samples ({games_done} games, "
               f"{elapsed:.1f}s, {self.sample_time * 1000:.1f} ms/game)")
         self.store.save(iteration, obs, pi, value)
 
         self.state = TrainState.PROCESS_RESULTS
-        wins, draws, avg_len = game_stats(rec)
+        wins, draws, avg_len = game_stats_arrays(win, done)
         total = max(int(wins.sum()) + draws, 1)
         for i, w in enumerate(wins):
             credit = 0.5 * draws if self.args.use_draws_for_winrate else 0.0
@@ -358,6 +447,13 @@ class Coach:
             train_steps = max(latest // batch_size, 1)
         else:
             train_steps = int(self.args.train_steps_per_iteration)
+        if jax.process_count() > 1:
+            # Per-host sample counts differ; every host must run the same
+            # number of jitted steps or the collective program deadlocks.
+            from jax.experimental import multihost_utils
+
+            train_steps = int(multihost_utils.process_allgather(
+                np.array(train_steps)).min())
 
         def batches():
             while True:
@@ -411,7 +507,8 @@ class Coach:
         self._save_model(self.train_net, iteration)
 
     # ------------------------------------------------------------ evaluation
-    def _get_arena_fn(self, num_games: int, baseline: bool):
+    def _get_arena_fn(self, num_games: int, baseline: bool,
+                      quant: bool = False):
         cfg = ArenaConfig.from_args(
             self.args, self.env.NUM_PLAYERS, self.env.HAS_DRAW
         )
@@ -421,9 +518,34 @@ class Coach:
                 self.env.ACTION_SIZE,
                 self.env.NUM_PLAYERS + int(self.env.HAS_DRAW),
             )
+        if quant:
+            from alphazero_general_tpu.models.quant import quant_apply
+
+            apply_fn = quant_apply  # both seats int8 via the same apply
+        else:
+            apply_fn = self._apply_fn()
         return make_arena_fn(
-            self.env, cfg, self._apply_fn(), num_games, apply_fn_b=apply_b
+            self.env, cfg, apply_fn, num_games, apply_fn_b=apply_b,
+            mesh=self.mesh,
         )
+
+    def _try_quant(self, net: NNetWrapper, iteration: int):
+        """Int8 inference params for arena evaluation (args.quant_arena —
+        the arenas then measure the same tower self-play deploys,
+        VERDICT.md weak#1). None → bf16 fallback."""
+        if not bool(self.args.get("quant_arena", True)) \
+                or not bool(self.args.get("quant_selfplay", False)) \
+                or self._quant_ok is False:
+            return None
+        try:
+            qp, _ = net.quantized_inference(
+                calib_obs=self._quant_calib_obs(iteration),
+                rng=self._next_rng())
+            self._quant_ok = True
+            return qp
+        except ValueError:
+            self._quant_ok = False
+            return None
 
     def compare_to_past(self, model_iter: int) -> None:
         """Arena vs the gated self-play model + gating decision
@@ -432,15 +554,29 @@ class Coach:
         self._load_model(self.self_play_net, self.self_play_iter)
         print(f"PITTING AGAINST ITERATION {self.self_play_iter}")
 
+        # Int8 on BOTH seats when available (symmetric; matches the tower
+        # self-play actually deploys). bf16 fallback otherwise.
+        vars_a = self._try_quant(self.train_net, model_iter)
+        quant = vars_a is not None
+        vars_b = (self._try_quant(self.self_play_net, model_iter)
+                  if quant else None)
+        quant = quant and vars_b is not None
+        if not quant:
+            vars_a = self.train_net.state.variables
+            vars_b = self.self_play_net.state.variables
+        if self.mesh is not None:
+            from alphazero_general_tpu.parallel.mesh import replicate_tree
+
+            vars_a = replicate_tree(vars_a, self.mesh)
+            vars_b = replicate_tree(vars_b, self.mesh)
+        key = "q" if quant else "f"
         if self._arena_fn is None:
-            self._arena_fn = self._get_arena_fn(
-                int(self.args.arenaCompare), baseline=False
+            self._arena_fn = {}
+        if key not in self._arena_fn:
+            self._arena_fn[key] = self._get_arena_fn(
+                int(self.args.arenaCompare), baseline=False, quant=quant
             )
-        result = self._arena_fn(
-            self.train_net.state.variables,
-            self.self_play_net.state.variables,
-            self._next_rng(),
-        )
+        result = self._arena_fn[key](vars_a, vars_b, self._next_rng())
         wr = np.asarray(winrates(result, self.args.use_draws_for_winrate))
         winrate = float(wr[0])
         wins = np.asarray(result.model_wins)
@@ -469,13 +605,23 @@ class Coach:
         """Arena vs the model-free RawMCTS baseline (Coach.py:574-590)."""
         self.state = TrainState.COMPARE_BASELINE
         print("PITTING AGAINST BASELINE: RawMCTS")
+        vars_a = self._try_quant(self.train_net, iteration)
+        quant = vars_a is not None
+        if not quant:
+            vars_a = self.train_net.state.variables
+        if self.mesh is not None:
+            from alphazero_general_tpu.parallel.mesh import replicate_tree
+
+            vars_a = replicate_tree(vars_a, self.mesh)
+        key = "q" if quant else "f"
         if self._baseline_fn is None:
-            self._baseline_fn = self._get_arena_fn(
-                int(self.args.arenaCompareBaseline), baseline=True
+            self._baseline_fn = {}
+        if key not in self._baseline_fn:
+            self._baseline_fn[key] = self._get_arena_fn(
+                int(self.args.arenaCompareBaseline), baseline=True,
+                quant=quant,
             )
-        result = self._baseline_fn(
-            self.train_net.state.variables, {}, self._next_rng()
-        )
+        result = self._baseline_fn[key](vars_a, {}, self._next_rng())
         wr = np.asarray(winrates(result, self.args.use_draws_for_winrate))
         winrate = float(wr[0])
         wins = np.asarray(result.model_wins)

@@ -31,6 +31,30 @@ def const_temp_scaling(temp: float, *args, **kwargs) -> float:
     return temp
 
 
+def convert_checkpoint_file(filepath: str, env, args=None,
+                            overwrite_args: bool = False) -> str:
+    """Round-trip a checkpoint through the current wrapper so old formats /
+    stale embedded args migrate to the current schema (reference:
+    alphazero/utils.py:86-90). ``filepath`` may include or omit the
+    ``.ckpt`` suffix; the sibling ``.json`` args file is refreshed too.
+    With ``overwrite_args`` the provided ``args`` replace the saved ones."""
+    import os
+
+    from alphazero_general_tpu.models.wrapper import NNetWrapper
+    from alphazero_general_tpu.utils.config import get_args
+
+    if filepath.endswith(".ckpt"):
+        filepath = filepath[: -len(".ckpt")]
+    folder, filename = os.path.split(filepath)
+    if overwrite_args:
+        wrapper = NNetWrapper(env, get_args(args))
+        wrapper.load_checkpoint(folder, filename)
+    else:
+        wrapper = NNetWrapper.from_checkpoint(env, folder, filename,
+                                              override_args=args)
+    return wrapper.save_checkpoint(folder, filename)
+
+
 def map_value(value, in_min, in_max, out_min, out_max):
     return (value - in_min) * (out_max - out_min) / (in_max - in_min) + out_min
 

@@ -222,3 +222,58 @@ class TestChessStrategoWeb:
         blues = [c for row in out["board"] for c in row
                  if c and c[0] == "?"]
         assert len(blues) == 1
+
+
+class TestGuiFidelity:
+    """Round-2 GUI additions: args editor endpoint, human-vs-human play
+    (hotseat + networked join), last-move/worst-move hints in the view."""
+
+    def test_args_endpoint(self, gui_server):
+        out, status = api(gui_server, "/api/args?env=connect4")
+        assert status == 200
+        assert out["args"]["numMCTSSims"] > 0
+        assert all(not k.startswith("_") for k in out["args"])
+        # callables encode as "__CALLABLE__<name>" strings, never eval'd
+        assert str(out["args"]["temp_scaling_fn"]).startswith("__CALLABLE__")
+
+    def test_hotseat_two_humans(self, gui_server):
+        out, _ = api(gui_server, "/api/new",
+                     {"env": "tictactoe", "opponent": "hotseat",
+                      "human_seat": 0})
+        game = out["game"]
+        assert out["mode"] == "hotseat"
+        # Both seats move from the same client; players alternate.
+        out, _ = api(gui_server, "/api/move",
+                     {"game": game, "to": [0, 0]})
+        assert out["player"] == 1 and out["turns"] == 1
+        out, _ = api(gui_server, "/api/move",
+                     {"game": game, "to": [1, 1]})
+        assert out["player"] == 0 and out["turns"] == 2
+        assert out["last_move"] == [1, 1]
+
+    def test_networked_join_and_turn_tokens(self, gui_server):
+        out, _ = api(gui_server, "/api/new",
+                     {"env": "tictactoe", "opponent": "human",
+                      "human_seat": 0})
+        game, tok0 = out["game"], out["token"]
+        # Moving before anyone joins is rejected.
+        out, _ = api(gui_server, "/api/move",
+                     {"game": game, "to": [0, 0], "token": tok0})
+        assert out["turns"] == 0
+        out, _ = api(gui_server, "/api/join", {"game": game})
+        tok1 = out["token"]
+        assert out["seat"] == 1
+        # Seat 1 cannot move first; seat 0 can; then seat 1.
+        out, _ = api(gui_server, "/api/move",
+                     {"game": game, "to": [0, 0], "token": tok1})
+        assert out["turns"] == 0 and "not your turn" in out["message"]
+        out, _ = api(gui_server, "/api/move",
+                     {"game": game, "to": [0, 0], "token": tok0})
+        assert out["turns"] == 1
+        out, _ = api(gui_server, "/api/move",
+                     {"game": game, "to": [1, 1], "token": tok1})
+        assert out["turns"] == 2
+        # Bogus token rejected.
+        out, _ = api(gui_server, "/api/move",
+                     {"game": game, "to": [2, 2], "token": "nope"})
+        assert out["turns"] == 2

@@ -1,0 +1,53 @@
+"""Multi-host validation: a real 2-process `jax.distributed` run on
+localhost (the "multi-node without a cluster" strategy, SURVEY.md §4) —
+each process owns 2 virtual CPU devices; a tiny Coach iteration runs
+data-parallel over the 4-device global mesh with per-host game slices,
+per-host sample files, global-batch gradient psum, and process-0-only
+checkpointing. Asserts both processes finish and end with bit-identical
+parameters."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_coach(tmp_path):
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    digests = [re.search(r"params_digest=([\d.]+)", o).group(1) for o in outs]
+    assert digests[0] == digests[1], (
+        f"params diverged across hosts: {digests}")
+    # Per-host sample files exist for both processes.
+    files = sorted(os.listdir(os.path.join(str(tmp_path), "data", "mp")))
+    assert any("-p0" in f for f in files) and any("-p1" in f for f in files)
+    # Only one checkpoint set (process 0 wrote it).
+    ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoint", "mp"))
+    assert any(c.endswith(".ckpt") for c in ckpts)

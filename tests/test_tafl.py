@@ -2,6 +2,7 @@
 (SURVEY.md §4); validated here against a straight-line Python mirror of the
 cengine semantics plus hand-built scenarios."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -348,3 +349,33 @@ class TestFusedWinValids:
                 lambda n, f: jnp.where(
                     done.reshape((16,) + (1,) * (n.ndim - 1)), f, n),
                 nxt, fresh)
+
+
+class TestScanMovegenEquality:
+    """The prefix-sum movegen (default) must agree exactly with the dense
+    [A, H*W] mask-matmul movegen (the round-1 oracle) on random playouts."""
+
+    @pytest.mark.parametrize("name,board,two_sided,draws", [
+        ("brandubh", BRANDUBH_BOARD, True, 100),
+        ("hnefatafl", HNEFATAFL_BOARD, False, 512),
+    ])
+    def test_playout_equality(self, name, board, two_sided, draws):
+        from alphazero_general_tpu.envs.tafl import make_tafl_env
+
+        scan = make_tafl_env(name + "_s", board, two_sided, draws,
+                             movegen="scan")
+        dense = make_tafl_env(name + "_d", board, two_sided, draws,
+                              movegen="dense")
+        rng = np.random.default_rng(42)
+        s = scan.init()
+        vm_s = jax.jit(scan.valid_moves)
+        vm_d = jax.jit(dense.valid_moves)
+        step = jax.jit(scan.step)
+        win = jax.jit(scan.win_state)
+        for t in range(60):
+            a_s = np.asarray(vm_s(s))
+            a_d = np.asarray(vm_d(s))
+            np.testing.assert_array_equal(a_s, a_d, err_msg=f"t={t}")
+            if np.asarray(win(s)).any() or not a_s.any():
+                break
+            s = step(s, int(rng.choice(np.flatnonzero(a_s))))
