@@ -31,7 +31,7 @@ GAMES = int(os.environ.get("BENCH_GAMES", 2048))
 SIMS_FULL = int(os.environ.get("BENCH_SIMS", 200))
 SIMS_FAST = int(os.environ.get("BENCH_SIMS_FAST", 40))
 PROB_FAST = 0.75
-MEASURE_MOVES = int(os.environ.get("BENCH_MOVES", 24))
+MEASURE_MOVES = int(os.environ.get("BENCH_MOVES", 48))
 # Deterministic fast/full schedule at exactly probFastSim's expectation
 # (3 fast : 1 full) — the reference draws per move (SelfPlayAgent.pyx:84-86);
 # measuring at the exact expected mix removes run-to-run mix variance.
