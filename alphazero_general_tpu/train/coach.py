@@ -136,6 +136,10 @@ class Coach:
 
         self.store = ReplayStore(args.data, args.run_name)
         self.writer = make_writer("runs", args.run_name)
+        from alphazero_general_tpu.utils.trace import PhaseTracer
+
+        self.tracer = PhaseTracer(
+            self.writer, str(args.get("profile_dir", "") or ""))
         self._np_rng = np.random.default_rng(int(args.get("seed", 0)))
         self._rng = jax.random.PRNGKey(int(args.get("seed", 0)) + 1)
 
@@ -257,25 +261,29 @@ class Coach:
                     self.warmup = True
                 else:
                     self.warmup = False
-                self.generate_self_play_data(self.model_iter)
+                with self.tracer.phase("self_play", self.model_iter):
+                    self.generate_self_play_data(self.model_iter)
                 if self.stop_train.is_set():
                     break
 
-            self.train(self.model_iter)
+            with self.tracer.phase("train", self.model_iter):
+                self.train(self.model_iter)
             if self.stop_train.is_set():
                 break
 
             if self.args.compareWithBaseline and \
                     int(self.args.arenaCompareBaseline) > 0 and \
                     (self.model_iter - 1) % self.args.baselineCompareFreq == 0:
-                self.compare_to_baseline(self.model_iter)
+                with self.tracer.phase("arena_baseline", self.model_iter):
+                    self.compare_to_baseline(self.model_iter)
                 if self.stop_train.is_set():
                     break
 
             if self.args.compareWithPast and \
                     int(self.args.arenaCompare) > 0 and \
                     (self.model_iter - 1) % self.args.pastCompareFreq == 0:
-                self.compare_to_past(self.model_iter)
+                with self.tracer.phase("arena_past", self.model_iter):
+                    self.compare_to_past(self.model_iter)
                 if self.stop_train.is_set():
                     break
 

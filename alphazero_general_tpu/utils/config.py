@@ -188,6 +188,14 @@ def _build_default_args() -> Args:
         # connect4 run (results/README.md): baseline winrate 0.71 → 0.95-0.98,
         # matching/exceeding the bf16 run's curve.
         quant_selfplay=True,
+        # Device-trace capture: when set, each Coach phase (self-play /
+        # train / arena) writes a jax.profiler trace to
+        # <profile_dir>/<phase>-iterNNN (first 3 occurrences per phase) —
+        # TensorBoard-profile/XProf viewable. Phase wall-times are always
+        # recorded as time/<phase> scalars regardless (utils/trace.py;
+        # replaces the reference's console/GUI timing meters,
+        # Coach.py:327-355).
+        profile_dir="",
     )
 
 
