@@ -179,14 +179,19 @@ def _build_scan_tables(H: int, W: int):
 def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
                   draw_move_count: int, move_over_throne: bool = True,
                   king_can_enter_throne: bool = False,
-                  movegen: str = "scan"):
+                  movegen: str = "dense"):
     """Build a tafl Env class for a variant (reference: cengine.pyx:54-57
     rule flags, variants.py board strings).
 
-    ``movegen``: 'scan' (default) computes path legality with row/col
-    obstacle prefix sums + tiny static gathers — O(H·W·MT) arithmetic;
-    'dense' uses the [A, H·W] between/destination mask matmuls (the round-1
-    kernels, kept as the cross-check oracle). Both are exact."""
+    ``movegen``: 'dense' (default) uses the [A, H·W] between/destination
+    mask matmuls; 'scan' computes path legality with row/col obstacle prefix
+    sums + tiny static gathers — O(H·W·MT) arithmetic, ~100x fewer FLOPs.
+    Both are exact (playout-equality tests). Measured head-to-head on the
+    TPU (results/r2/tafl_profile.py, B=512 raw search): dense 227.5k
+    sims/s vs scan 211.9k — the vmapped mask matvecs batch into [A,H·W] x
+    [H·W,B] MXU matmuls while the prefix-sum gathers are VPU-serial, so the
+    arithmetic saving never materializes. Dense is therefore the default;
+    scan remains for CPU/debug (it wins when there is no MXU)."""
     INIT = _parse_board(board_str)
     H, W = INIT.shape
     MT, DEST_R, DEST_C, BETWEEN, DEST_OH = _build_tables(H, W)

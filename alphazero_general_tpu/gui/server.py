@@ -14,6 +14,7 @@ Run: ``python -m alphazero_general_tpu.gui.server [--port 8000]``
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import threading
 import uuid
@@ -627,6 +628,19 @@ class TrainManager:
 
 
 _TRAIN = TrainManager()
+
+
+@atexit.register
+def _stop_train_at_exit() -> None:
+    # A daemon Coach thread still inside an XLA call when the interpreter
+    # tears down dies by pthread_cancel mid-C++ frame ("FATAL: exception not
+    # rethrown"). Signal it and give it a moment to park between chunks
+    # (the Coach honors stop_train at every chunk boundary).
+    t = _TRAIN.thread
+    if t is not None and t.is_alive() and _TRAIN.coach is not None:
+        _TRAIN.coach.stop_train.set()
+        _TRAIN.coach.pause_train.clear()
+        t.join(timeout=10)
 
 
 class Handler(BaseHTTPRequestHandler):

@@ -11,8 +11,10 @@ the CLI `analyze` tool.
 
 from __future__ import annotations
 
+import atexit
 import threading
 import time
+import weakref
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -22,6 +24,31 @@ import numpy as np
 
 import alphazero_general_tpu.mcts.search as S
 import alphazero_general_tpu.mcts.tree as T
+
+#: Evaluators with a live worker thread. Daemon threads that are still inside
+#: an XLA execute/compile when the interpreter tears down die by
+#: pthread_cancel mid-C++ frame ("FATAL: exception not rethrown" /
+#: segfault-at-exit — observed in long pytest runs). Stop them gracefully
+#: at exit instead.
+_LIVE: "weakref.WeakSet" = weakref.WeakSet()
+
+
+@atexit.register
+def _stop_live_evaluators() -> None:
+    for ev in list(_LIVE):
+        try:
+            t = ev._thread
+            if t is not None and t.is_alive():
+                print("[evaluator] waiting for the in-flight analysis tick "
+                      "to finish (an XLA compile cannot be cancelled)...")
+            # Generous bounded join: a tick caught mid-compile cannot be
+            # cancelled, and exiting under it aborts in C++ teardown. The
+            # bound keeps a wedged backend (e.g. a stale remote-TPU grant)
+            # from hanging exit forever — in that corner the abort-at-exit
+            # is accepted.
+            ev.stop(timeout=120.0)
+        except Exception:
+            pass
 
 
 @dataclass
@@ -117,12 +144,13 @@ class MCTSEvaluator:
         self._thread = threading.Thread(
             target=self._run, args=(state,), daemon=True
         )
+        _LIVE.add(self)
         self._thread.start()
 
-    def stop(self) -> None:
+    def stop(self, timeout: Optional[float] = 5.0) -> None:
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=5)
+            self._thread.join(timeout=timeout)
             self._thread = None
 
     def analyze_blocking(self, state, sims: Optional[int] = None) -> Analysis:
@@ -162,6 +190,15 @@ class MCTSEvaluator:
             )
 
     def _run(self, state) -> None:
+        try:
+            self._run_inner(state)
+        except Exception:
+            # Interpreter/test teardown can interrupt a tick mid-trace
+            # (daemon thread); stay quiet when a stop was requested.
+            if not self._stop.is_set():
+                raise
+
+    def _run_inner(self, state) -> None:
         env = self.env
         if bool(np.asarray(env.terminated(state))):
             with self._lock:

@@ -352,8 +352,8 @@ class TestFusedWinValids:
 
 
 class TestScanMovegenEquality:
-    """The prefix-sum movegen (default) must agree exactly with the dense
-    [A, H*W] mask-matmul movegen (the round-1 oracle) on random playouts."""
+    """The prefix-sum (scan) movegen must agree exactly with the dense
+    [A, H*W] mask-matmul movegen (the TPU default) on random playouts."""
 
     @pytest.mark.parametrize("name,board,two_sided,draws", [
         ("brandubh", BRANDUBH_BOARD, True, 100),
