@@ -229,3 +229,25 @@ class TestArena:
         wr = np.asarray(winrates(res))
         assert wr[0] > 0.5, f"uniform-prior model should beat col-0 bot: {wr}"
         del weak_sims
+
+
+class TestChunkedSymmetryExpansion:
+    def test_chunked_equals_unchunked(self, monkeypatch):
+        """The fixed-shape chunked device expansion (incl. tail padding)
+        must equal a one-shot host expansion."""
+        import alphazero_general_tpu.selfplay.replay as R
+
+        rng = np.random.default_rng(0)
+        n = 11  # will split 4+4+3 under chunk=4 (pad path exercised)
+        obs = rng.random((n, 4, 6, 7)).astype(np.float32)
+        pi = rng.random((n, 7)).astype(np.float32)
+        pi /= pi.sum(-1, keepdims=True)
+
+        expect_o, expect_p = R._expand_symmetries(Connect4, obs, pi)
+
+        monkeypatch.setattr(R, "_SYM_CHUNK", 4)
+        monkeypatch.setattr(R, "_SYM_JITS", {})
+        got_o, got_p = R._expand_symmetries(Connect4, obs, pi)
+        np.testing.assert_array_equal(got_o, expect_o)
+        np.testing.assert_array_equal(got_p, expect_p)
+        assert len(got_o) == n * Connect4.NUM_SYMMETRIES
