@@ -200,8 +200,8 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
     NUM_BLACK = int((INIT == BLACK).sum())
     NUM_WHITE = int((INIT == WHITE).sum())
 
-    between_j = jnp.asarray(BETWEEN)
-    dest_oh_j = jnp.asarray(DEST_OH)
+    between_bf = jnp.asarray(BETWEEN, jnp.bfloat16)
+    dest_oh_bf = jnp.asarray(DEST_OH, jnp.bfloat16)
     dest_r_j = jnp.asarray(DEST_R.reshape(-1))
     dest_c_j = jnp.asarray(DEST_C.reshape(-1))
     perms_j = jnp.asarray(PERMS)
@@ -218,11 +218,27 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
 
     def _ok_dense(pass_mask, land_mask):
         """[A, H·W] mask-matmul legality (round-1 kernels): blocked-count
-        and destination-landability matvecs."""
-        obstacles = (~pass_mask).astype(jnp.float32).reshape(-1)
-        blocked = between_j @ obstacles  # [A] count of blockers between
-        landable = dest_oh_j @ land_mask.astype(jnp.float32).reshape(-1)
+        and destination-landability matvecs. bf16 is exact here: blocker
+        counts are small integers (≤ pieces on a line ≪ 256)."""
+        obstacles = (~pass_mask).astype(jnp.bfloat16).reshape(-1)
+        blocked = between_bf @ obstacles  # [A] count of blockers between
+        landable = dest_oh_bf @ land_mask.astype(jnp.bfloat16).reshape(-1)
         return (blocked < 0.5) & (landable > 0.5)
+
+    def _ok_dense_pair(pass_nk, land_nk, pass_k, land_k):
+        """Both movers' legality in ONE pair of [A, H·W] x [H·W, 2]
+        matmuls (stacked rhs) — under vmap this lowers to [A, H·W] x
+        [H·W, 2B] MXU matmuls instead of four separate matvec batches."""
+        obst = jnp.stack(
+            [(~pass_nk).reshape(-1), (~pass_k).reshape(-1)], axis=-1
+        ).astype(jnp.bfloat16)                                   # [H·W, 2]
+        land = jnp.stack(
+            [land_nk.reshape(-1), land_k.reshape(-1)], axis=-1
+        ).astype(jnp.bfloat16)
+        blocked = between_bf @ obst                              # [A, 2]
+        landable = dest_oh_bf @ land
+        ok = (blocked < 0.5) & (landable > 0.5)
+        return ok[:, 0], ok[:, 1]
 
     def _ok_scan(pass_mask, land_mask):
         """Prefix-sum legality: blockers between source and destination read
@@ -260,6 +276,8 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
         land_k = land_nk | (board == ESCAPE) | (
             (board == THRONE) if king_can_enter_throne else (board == EMPTY)
         )
+        if movegen == "dense":
+            return _ok_dense_pair(pass_nk, land_nk, pass_k, land_k)
         return _ok_impl(pass_nk, land_nk), _ok_impl(pass_k, land_k)
 
     def _select_movers(ok_nk, ok_k, movers_nonking, movers_king):
@@ -301,7 +319,13 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
         return mp[:-2, 1:-1] | mp[2:, 1:-1] | mp[1:-1, :-2] | mp[1:-1, 2:]
 
     def _flood(seed, region):
-        """Grow ``seed`` through 4-connected ``region`` to a fixpoint."""
+        """Grow ``seed`` through 4-connected ``region`` to a fixpoint.
+
+        Each while trip grows FOUR hops (unrolled dilations — growth past
+        the fixpoint is idempotent, so exactness is preserved): typical
+        capture groups converge in one trip, and under vmap the loop runs
+        max-trips-across-batch, so fewer, fatter trips cut the serialized
+        while_loop overhead that dominates the step kernel."""
 
         def cond(carry):
             _, changed = carry
@@ -309,7 +333,9 @@ def make_tafl_env(name: str, board_str: str, king_two_sided_capture: bool,
 
         def body(carry):
             reach, _ = carry
-            grown = region & (reach | _dilate(reach))
+            grown = reach
+            for _ in range(4):
+                grown = region & (grown | _dilate(grown))
             return grown, jnp.any(grown != reach)
 
         reach, _ = jax.lax.while_loop(cond, body, (seed & region,

@@ -67,14 +67,47 @@ def finalize_sparse(win, done, fast, obs_f, pi_f, full_idx, symmetric: bool,
     values = values[full_idx].reshape(Kf * B, V)[mask]
 
     if symmetric and env.NUM_SYMMETRIES > 1 and len(obs):
-        sym = jax.jit(jax.vmap(env.symmetries))
-        obs_k, pi_k = sym(jnp.asarray(obs), jnp.asarray(pi))
-        S = env.NUM_SYMMETRIES
-        obs = np.asarray(obs_k).reshape((-1,) + obs.shape[1:])
-        pi = np.asarray(pi_k).reshape(-1, pi.shape[1])
-        values = np.repeat(values, S, axis=0)
+        obs, pi = _expand_symmetries(env, obs, pi)
+        values = np.repeat(values, env.NUM_SYMMETRIES, axis=0)
 
     return obs.astype(np.float32), pi.astype(np.float32), values.astype(np.float32)
+
+
+#: Samples per device round of symmetry expansion. Bounds finalize HBM to
+#: ~chunk × S × (obs + pi) regardless of iteration size — a long-game,
+#: large-A env (stratego: 512-move draw cap × A=1280) can emit hundreds of
+#: thousands of samples per iteration, and expanding them in one program was
+#: measured to RESOURCE_EXHAUST the chip at warmup.
+_SYM_CHUNK = 8192
+_SYM_JITS: dict = {}
+
+
+def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray):
+    """Symmetry expansion in fixed-shape device chunks (host-accumulated)."""
+    key = env.NAME
+    if key not in _SYM_JITS:
+        _SYM_JITS[key] = jax.jit(jax.vmap(env.symmetries))
+    sym = _SYM_JITS[key]
+    S = env.NUM_SYMMETRIES
+    n = len(obs)
+    out_o = np.empty((n * S,) + obs.shape[1:], np.float32)
+    out_p = np.empty((n * S, pi.shape[1]), np.float32)
+    for i in range(0, n, _SYM_CHUNK):
+        o, p = obs[i:i + _SYM_CHUNK], pi[i:i + _SYM_CHUNK]
+        m = len(o)
+        if m < _SYM_CHUNK and n > _SYM_CHUNK:
+            # Pad the tail chunk to the jitted shape; vmapped expansion is
+            # per-sample, so the pad rows are sliced off after reshape.
+            o = np.concatenate([o, np.zeros((_SYM_CHUNK - m,) + o.shape[1:],
+                                            o.dtype)])
+            p = np.concatenate([p, np.zeros((_SYM_CHUNK - m, p.shape[1]),
+                                            p.dtype)])
+        ok, pk = sym(jnp.asarray(o), jnp.asarray(p))
+        ok = np.asarray(ok).reshape((-1,) + obs.shape[1:])[: m * S]
+        pk = np.asarray(pk).reshape(-1, pi.shape[1])[: m * S]
+        out_o[i * S:i * S + m * S] = ok
+        out_p[i * S:i * S + m * S] = pk
+    return out_o, out_p
 
 
 def finalize_trajectories(records, symmetric: bool, env) -> Tuple[np.ndarray, ...]:

@@ -1,4 +1,6 @@
-"""Round-2 stratego gated run (VERDICT round-1 item 10): exercises the
+"""Round-2 stratego gated run (sized so the warmup iteration's
+finalize fits HBM: random-play stratego games run to the 512-move draw cap,
+so samples/iteration ~ games x 512 x 30-plane obs) (VERDICT round-1 item 10): exercises the
 two-phase action space (placement palette then rook/scout movement, A=1280,
 imperfect-information obs censoring) end-to-end through self-play -> train ->
 gating -> baseline, the way the reference's stratego train script does
@@ -17,10 +19,10 @@ env = get_env("stratego")
 args = get_args(
     run_name=RUN,
     seed=11,
-    numIters=12,
+    numIters=10,
     numWarmupIters=1,
-    process_batch_size=512,
-    gamesPerIteration=1024,
+    process_batch_size=256,
+    gamesPerIteration=512,
     numMCTSSims=100, numFastSims=20, probFastSim=0.75,
     cpuct=4.0, fpu_reduction=0.4,
     train_batch_size=1024,
