@@ -637,9 +637,15 @@ def _stop_train_at_exit() -> None:
     # rethrown"). Signal it and give it a moment to park between chunks
     # (the Coach honors stop_train at every chunk boundary).
     t = _TRAIN.thread
-    if t is not None and t.is_alive() and _TRAIN.coach is not None:
-        _TRAIN.coach.stop_train.set()
-        _TRAIN.coach.pause_train.clear()
+    if t is not None and t.is_alive():
+        # The Coach is constructed on the caller thread before the run()
+        # thread exists, so coach is normally set here — but join briefly
+        # even if not, rather than leave the thread to be pthread_cancelled
+        # mid-XLA at teardown.
+        c = _TRAIN.coach
+        if c is not None:
+            c.stop_train.set()
+            c.pause_train.clear()
         t.join(timeout=10)
 
 

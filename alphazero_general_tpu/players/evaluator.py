@@ -194,9 +194,15 @@ class MCTSEvaluator:
             self._run_inner(state)
         except Exception:
             # Interpreter/test teardown can interrupt a tick mid-trace
-            # (daemon thread); stay quiet when a stop was requested.
+            # (daemon thread); stay quiet when a stop was requested — but
+            # leave a trace so a genuine failure racing a stop() is not
+            # silently lost.
             if not self._stop.is_set():
                 raise
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "evaluator tick failed after stop()", exc_info=True)
 
     def _run_inner(self, state) -> None:
         env = self.env

@@ -82,12 +82,26 @@ _SYM_CHUNK = 8192
 _SYM_JITS: dict = {}
 
 
+def _bucket(m: int) -> int:
+    """Round a sub-chunk batch up to a power-of-2 bucket so repeated
+    finalizes with varying sample counts reuse a handful of compiled
+    shapes instead of compiling one program per distinct n."""
+    b = 256
+    while b < m:
+        b *= 2
+    return min(b, _SYM_CHUNK)
+
+
 def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray):
     """Symmetry expansion in fixed-shape device chunks (host-accumulated)."""
-    key = env.NAME
+    # Keyed on the bound symmetry function, not just the env name: a rebuilt
+    # env with the same NAME but a different closure must not silently reuse
+    # the first instance's jitted program. The env is kept in the value to
+    # hold a strong reference (id() reuse after GC).
+    key = (env.NAME, id(env))
     if key not in _SYM_JITS:
-        _SYM_JITS[key] = jax.jit(jax.vmap(env.symmetries))
-    sym = _SYM_JITS[key]
+        _SYM_JITS[key] = (env, jax.jit(jax.vmap(env.symmetries)))
+    sym = _SYM_JITS[key][1]
     S = env.NUM_SYMMETRIES
     n = len(obs)
     out_o = np.empty((n * S,) + obs.shape[1:], np.float32)
@@ -95,12 +109,14 @@ def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray):
     for i in range(0, n, _SYM_CHUNK):
         o, p = obs[i:i + _SYM_CHUNK], pi[i:i + _SYM_CHUNK]
         m = len(o)
-        if m < _SYM_CHUNK and n > _SYM_CHUNK:
-            # Pad the tail chunk to the jitted shape; vmapped expansion is
-            # per-sample, so the pad rows are sliced off after reshape.
-            o = np.concatenate([o, np.zeros((_SYM_CHUNK - m,) + o.shape[1:],
+        if m < _SYM_CHUNK:
+            # Pad the tail (or an under-chunk batch) up to a power-of-2
+            # bucket; vmapped expansion is per-sample, so the pad rows are
+            # sliced off after reshape.
+            b = _SYM_CHUNK if n > _SYM_CHUNK else _bucket(m)
+            o = np.concatenate([o, np.zeros((b - m,) + o.shape[1:],
                                             o.dtype)])
-            p = np.concatenate([p, np.zeros((_SYM_CHUNK - m, p.shape[1]),
+            p = np.concatenate([p, np.zeros((b - m, p.shape[1]),
                                             p.dtype)])
         ok, pk = sym(jnp.asarray(o), jnp.asarray(p))
         ok = np.asarray(ok).reshape((-1,) + obs.shape[1:])[: m * S]

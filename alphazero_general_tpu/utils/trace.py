@@ -39,7 +39,7 @@ class PhaseTracer:
 
     @contextlib.contextmanager
     def phase(self, name: str, step: int = 0):
-        t0 = time.time()
+        t0 = time.perf_counter()  # monotonic: NTP steps cannot skew durations
         ctx = contextlib.nullcontext()
         if self.profile_dir:
             seen = self._counts.get(name, 0)
@@ -55,4 +55,5 @@ class PhaseTracer:
             with ctx:
                 yield
         finally:
-            self.writer.add_scalar(f"time/{name}", time.time() - t0, step)
+            self.writer.add_scalar(f"time/{name}",
+                                   time.perf_counter() - t0, step)
