@@ -28,18 +28,17 @@ from alphazero_general_tpu.utils.config import get_args
 _PAGE = """<!DOCTYPE html>
 <html><head><title>alphazero_general_tpu</title><style>
 body { font-family: system-ui, sans-serif; margin: 2em; background: #182026; color: #e8eaed; }
-#board { border-collapse: collapse; margin: 1em 0; }
-#board td { width: 42px; height: 42px; border: 1px solid #3a434d; text-align: center;
-  font-size: 22px; cursor: pointer; user-select: none; }
-#board td.hint { background: #2d4d36; }
-#board td.bad { background: #4d2d2d; }
-#board td.last { outline: 2px solid #7aa2d8; outline-offset: -2px; }
-#board td.sel { background: #4d3d2d; }
+#board { margin: 1em 0; cursor: pointer; border-radius: 6px;
+  box-shadow: 0 4px 18px rgba(0,0,0,0.45); display: block; }
 #argtable td { padding: 2px 8px; font-size: 13px; }
 #argtable input { background: #2b3440; color: #e8eaed;
   border: 1px solid #3a434d; padding: 3px 6px; width: 220px; }
-#evalwrap { width: 380px; height: 14px; background: #a33; border-radius: 7px; overflow: hidden; }
-#evalbar { height: 100%; background: #3a7; width: 50%; transition: width 0.3s; }
+#evalwrap { width: 380px; height: 18px; background: #8a3a3a; border-radius: 9px;
+  overflow: hidden; position: relative; }
+#evalbar { height: 100%; background: linear-gradient(90deg,#2e8f63,#3fae79);
+  width: 50%; }
+#evallabel { position: absolute; inset: 0; text-align: center; font-size: 12px;
+  line-height: 18px; color: #fff; text-shadow: 0 1px 2px rgba(0,0,0,.6); }
 button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
   padding: 6px 10px; border-radius: 4px; margin-right: 6px; }
 #status { margin-top: 0.6em; min-height: 1.4em; }
@@ -62,8 +61,8 @@ button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
   <button onclick="joinGame()">join</button>
 </div>
 <div style="margin-top:1em">win probability (you)
-  <div id="evalwrap"><div id="evalbar"></div></div></div>
-<table id="board"></table>
+  <div id="evalwrap"><div id="evalbar"></div><div id="evallabel">50%</div></div></div>
+<canvas id="board" width="0" height="0"></canvas>
 <div id="status">pick an env and press "new game"</div>
 <hr style="border-color:#3a434d; margin:1.6em 0">
 <h3>train</h3>
@@ -151,8 +150,8 @@ async function newGame() {
   game = r.game; token = r.token || null; render(r);
   if (r.mode === 'human') {
     setStatus('game id: ' + game + ' — share it; waiting for opponent');
-    pollState();
   }
+  pollState();
 }
 async function joinGame() {
   const id = document.getElementById('joinid').value.trim();
@@ -164,8 +163,10 @@ async function joinGame() {
 }
 let polling = false;
 async function pollState() {
+  // Poll in every mode: networked games for the opponent's moves, agent
+  // games so the live evaluator's evolving value/hints keep animating.
   if (polling) return; polling = true;
-  while (game && view && view.mode === 'human' && !view.terminal) {
+  while (game && view && !view.terminal) {
     await new Promise(res => setTimeout(res, 1200));
     const r = await api('/api/state?game=' + game);
     if (!r.error) { r.game = game; render(r); }
@@ -195,29 +196,99 @@ function render(r) {
   } else {
     pal.style.display = 'none';
   }
-  const tbl = document.getElementById('board');
-  tbl.innerHTML = '';
-  const hints = new Set((r.hints || []).map(h => h[0] + ',' + h[1]));
-  const bad = new Set((r.bad_hints || []).map(h => h[0] + ',' + h[1]));
-  const last = r.last_move ? r.last_move[0] + ',' + r.last_move[1] : null;
-  for (let i = 0; i < r.board.length; i++) {
-    const tr = document.createElement('tr');
-    for (let j = 0; j < r.board[i].length; j++) {
-      const td = document.createElement('td');
-      td.textContent = r.board[i][j];
-      const key = i + ',' + j;
-      if (hints.has(key)) td.className = 'hint';
-      else if (bad.has(key)) td.className = 'bad';
-      if (key === last) td.classList.add('last');
-      if (sel && sel[0] === i && sel[1] === j) td.className = 'sel';
-      td.onclick = () => clickCell(i, j);
-      tr.appendChild(td);
-    }
-    tbl.appendChild(tr);
-  }
-  document.getElementById('evalbar').style.width =
-    Math.round(100 * (r.eval_for_human ?? 0.5)) + '%';
+  drawBoard(r);
+  animateEval(r.eval_for_human ?? 0.5);
   setStatus(r.message || '');
+}
+const CELL = 48;
+function cellCenter(i, j) { return [j * CELL + CELL / 2, i * CELL + CELL / 2]; }
+function drawBoard(r) {
+  const cv = document.getElementById('board');
+  const rows = r.board.length, cols = r.board[0].length;
+  const dpr = window.devicePixelRatio || 1;
+  cv.width = cols * CELL * dpr; cv.height = rows * CELL * dpr;
+  cv.style.width = (cols * CELL) + 'px'; cv.style.height = (rows * CELL) + 'px';
+  const g = cv.getContext('2d');
+  g.setTransform(dpr, 0, 0, dpr, 0, 0);
+  // checkerboard squares
+  for (let i = 0; i < rows; i++) for (let j = 0; j < cols; j++) {
+    g.fillStyle = (i + j) % 2 ? '#2a333d' : '#343f4b';
+    g.fillRect(j * CELL, i * CELL, CELL, CELL);
+  }
+  const fillCell = (c, color, alpha) => {
+    g.globalAlpha = alpha; g.fillStyle = color;
+    g.fillRect(c[1] * CELL + 2, c[0] * CELL + 2, CELL - 4, CELL - 4);
+    g.globalAlpha = 1;
+  };
+  // cell-style hints (drop games / arrow targets get a soft glow too)
+  (r.hints || []).forEach((h, k) => fillCell(h, '#3fae79', 0.35 - 0.08 * k));
+  (r.bad_hints || []).forEach((h, k) => fillCell(h, '#c75450', 0.3 - 0.08 * k));
+  if (r.last_move) {
+    g.strokeStyle = '#7aa2d8'; g.lineWidth = 2.5;
+    g.strokeRect(r.last_move[1] * CELL + 2, r.last_move[0] * CELL + 2,
+                 CELL - 4, CELL - 4);
+  }
+  if (sel) fillCell(sel, '#d8a04d', 0.4);
+  // pieces: discs for stone games, glyph sprites otherwise
+  g.textAlign = 'center'; g.textBaseline = 'middle';
+  for (let i = 0; i < rows; i++) for (let j = 0; j < cols; j++) {
+    const ch = r.board[i][j];
+    if (!ch) continue;
+    const [x, y] = cellCenter(i, j);
+    if (ch === '\\u25cf' || ch === '\\u25cb') {  // ● / ○ stones
+      const dark = ch === '\\u25cf';
+      const grad = g.createRadialGradient(x - 6, y - 7, 3, x, y, CELL * 0.42);
+      grad.addColorStop(0, dark ? '#6a6f78' : '#ffffff');
+      grad.addColorStop(1, dark ? '#14181d' : '#b9c0c9');
+      g.fillStyle = grad;
+      g.beginPath(); g.arc(x, y, CELL * 0.38, 0, 7); g.fill();
+      g.strokeStyle = 'rgba(0,0,0,0.45)'; g.lineWidth = 1; g.stroke();
+    } else {
+      g.font = (ch.length > 1 ? CELL * 0.42 : CELL * 0.62) + 'px serif';
+      g.shadowColor = 'rgba(0,0,0,0.6)'; g.shadowBlur = 3;
+      g.fillStyle = '#e8eaed';
+      g.fillText(ch, x, y + 1);
+      g.shadowBlur = 0;
+    }
+  }
+  // best/worst move arrows (reference: brandubh gui.py:42-87)
+  const arrow = (m, color, alpha, w) => {
+    if (!m || m[0] === null || m[0] === undefined) return;
+    const [x1, y1] = cellCenter(m[0], m[1]), [x2, y2] = cellCenter(m[2], m[3]);
+    const ang = Math.atan2(y2 - y1, x2 - x1);
+    const hx = x2 - Math.cos(ang) * 10, hy = y2 - Math.sin(ang) * 10;
+    g.globalAlpha = alpha; g.strokeStyle = color; g.fillStyle = color;
+    g.lineWidth = w; g.lineCap = 'round';
+    g.beginPath(); g.moveTo(x1, y1); g.lineTo(hx, hy); g.stroke();
+    g.beginPath();
+    g.moveTo(x2, y2);
+    g.lineTo(x2 - Math.cos(ang - 0.45) * 15, y2 - Math.sin(ang - 0.45) * 15);
+    g.lineTo(x2 - Math.cos(ang + 0.45) * 15, y2 - Math.sin(ang + 0.45) * 15);
+    g.closePath(); g.fill();
+    g.globalAlpha = 1;
+  };
+  (r.bad_moves || []).forEach((m, k) => arrow(m, '#c75450', 0.45 - 0.12 * k, 3));
+  (r.hint_moves || []).forEach((m, k) => arrow(m, '#3fae79', 0.85 - 0.2 * k, 5 - k));
+  cv.onclick = (ev) => {
+    const rect = cv.getBoundingClientRect();
+    const j = Math.floor((ev.clientX - rect.left) / CELL);
+    const i = Math.floor((ev.clientY - rect.top) / CELL);
+    if (i >= 0 && i < rows && j >= 0 && j < cols) clickCell(i, j);
+  };
+}
+let evalCur = 0.5, evalTarget = 0.5, evalAnim = null;
+function animateEval(v) {
+  evalTarget = v;
+  if (evalAnim) return;
+  const tick = () => {
+    evalCur += (evalTarget - evalCur) * 0.12;
+    if (Math.abs(evalTarget - evalCur) < 0.002) { evalCur = evalTarget; evalAnim = null; }
+    else evalAnim = requestAnimationFrame(tick);
+    document.getElementById('evalbar').style.width = (100 * evalCur) + '%';
+    document.getElementById('evallabel').textContent =
+      Math.round(100 * evalCur) + '%';
+  };
+  evalAnim = requestAnimationFrame(tick);
 }
 async function clickCell(i, j) {
   if (!game || !view || view.terminal) return;
@@ -391,12 +462,14 @@ class GameSession:
         ref_seat = self.human_seat if self.mode == "agent" else 0
         eval_h = (mover_value if int(self.state.player) == ref_seat
                   else 1.0 - mover_value)
-        hints, bad_hints = [], []
+        hints, bad_hints, hint_moves, bad_moves = [], [], [], []
         if human_to_move and not terminal:
             for a in analysis.best_actions[:3]:
                 hints.append(self._cell_of_action(a))
+                hint_moves.append(self._move_of_action(a))
             for a in analysis.worst_actions[:2]:
                 bad_hints.append(self._cell_of_action(a))
+                bad_moves.append(self._move_of_action(a))
         if terminal:
             if win[-1] and self.env.HAS_DRAW:
                 message = "draw"
@@ -428,6 +501,11 @@ class GameSession:
             "analysis_sims": analysis.sims,
             "hints": hints,
             "bad_hints": bad_hints,
+            # From→to arrow overlays for the canvas renderer (reference:
+            # best/worst move arrows, envs/brandubh/gui.py:42-87). Entries
+            # are [fr, fc, tr, tc]; fr/fc are null for drop/placement moves.
+            "hint_moves": hint_moves,
+            "bad_moves": bad_moves,
             "last_move": last_move,
             "message": message,
         }
@@ -443,6 +521,32 @@ class GameSession:
                     for p in range(1, S.NUM_PIECES + 1)
                 ]
         return out
+
+    def _move_of_action(self, a: int):
+        """[fr, fc, tr, tc] of an action in DISPLAY coordinates (row-flipped
+        envs included); fr/fc are None for drop/placement actions. Feeds the
+        canvas arrow overlays (reference: envs/brandubh/gui.py:42-87)."""
+        to = self._cell_of_action(a)
+        name = self.env_name
+        frm = None
+        if name == "chess":
+            from alphazero_general_tpu.envs.chess import action_to_uci
+
+            uci = action_to_uci(self.state, a)
+            fr, ff = int(uci[1]) - 1, ord(uci[0]) - 97
+            H = np.asarray(self.state.board).shape[0]
+            frm = [H - 1 - fr, ff]
+        elif name == "stratego":
+            from alphazero_general_tpu.envs import stratego as S
+
+            if not S.Stratego.in_placement(self.state):
+                (r1, c1), _ = S.Stratego.decode_action(a)
+                frm = [int(r1), int(c1)]
+        elif name in TWO_CLICK_ENVS:
+            (r1, c1), _ = self.env.decode_action(a)
+            frm = [int(r1), int(c1)]
+        return [None, None, to[0], to[1]] if frm is None else \
+            [frm[0], frm[1], to[0], to[1]]
 
     def _cell_of_action(self, a: int, placed: bool = False):
         """Board cell of an action: ``placed=False`` = where a candidate

@@ -28,14 +28,16 @@ def init_batched_trees(env, states, capacity: int, value_size: int):
     return jax.vmap(lambda s: T.init_tree(env, s, capacity, value_size))(states)
 
 
-#: VMEM budget gate for the Pallas descent kernel: it holds three [N, A, 128]
-#: f32 blocks plus temporaries of the same shape against the 16 MB
-#: scoped-VMEM limit. Beyond this, fall back to the vmapped XLA walk
-#: (DMA kernel for large action spaces: ROADMAP).
-_PALLAS_MAX_NODE_ACTION = 2048
+#: VMEM budget gate for the Pallas descent kernel. The rank-walk redesign
+#: (tree.Tree.nba / ops/descend.py) made the kernel's footprint independent
+#: of the action-space size: it holds ~9 [N, 128] f32/i32 columns plus a few
+#: temporaries against the 16 MB scoped-VMEM limit, so the gate is on node
+#: count alone — hnefatafl (A=2420) and chess (A=4672) run the same kernel
+#: as connect4.
+_PALLAS_MAX_NODES = 2048
 
-#: Node-count gate for the Pallas backup kernel: it holds only [N, 128]
-#: columns, so the limit is far higher than the walk's.
+#: Node-count gate for the Pallas backup kernel: it holds fewer [N, 128]
+#: columns, so the limit is a little higher than the walk's.
 _PALLAS_BACKUP_MAX_NODES = 4096
 
 
@@ -50,8 +52,7 @@ def _pick_walk_impl(trees, walk_impl: str) -> str:
     if walk_impl != "auto":
         return walk_impl
     B, N = trees.n.shape
-    A = trees.num_actions
-    if _on_tpu() and B % 128 == 0 and N * A <= _PALLAS_MAX_NODE_ACTION:
+    if _on_tpu() and B % 128 == 0 and N <= _PALLAS_MAX_NODES:
         return "pallas"
     return "xla"
 

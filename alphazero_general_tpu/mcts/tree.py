@@ -63,6 +63,13 @@ ROOT = jnp.int32(0)
 #: non-walk consumers (root_value, general-path install, viz).
 INVALID_PRIOR = -1.0
 
+#: ``nbp`` sentinel: the node has NO unexpanded valid action left (every
+#: valid prior is strictly "above" the pointer in (prior, -index) order).
+NBP_NONE = -3.0e38
+#: ``nbp`` sentinel for never-installed rows. Chosen so the invariant-based
+#: expanded-mask reconstruction (tree_t) marks nothing expanded there.
+NBP_PRISTINE = 3.0e38
+
 
 class SearchSpec(NamedTuple):
     """Static search hyperparameters (hashable → usable as jit static arg).
@@ -130,6 +137,17 @@ class Tree:
     # O(A*N) per-step compare-reduce that previously overlaid visited-child
     # scores onto the action axis is gone (children score in [N] space).
     expanded: jnp.ndarray  # uint32[N*W32]
+    # Rank-walk columns: per node, the best VALID UNexpanded action (the one
+    # the walk's unexpanded arm would pick) and its stored prior. Because the
+    # unexpanded arm always picks the argmax-prior action (fpu/sqrt_n are
+    # constant across actions at a node), actions expand in strictly
+    # descending (prior, -index) order — so ONE next-best pointer per node,
+    # advanced with a single row pass per expansion (see _next_best), spares
+    # the walk every per-step [A]-row read. This is what makes the Pallas
+    # descent kernel's footprint independent of action-space size
+    # (ops/descend.py; the loops beaten: MCTS.pyx:86-104 over children).
+    nba: jnp.ndarray  # int32[N] — next best unexpanded action id
+    nbp: jnp.ndarray  # float32[N] — its prior; NBP_NONE/NBP_PRISTINE sentinels
     next_free: jnp.ndarray  # int32 scalar — next unallocated slot
     depth: jnp.ndarray  # int32 scalar — depth of last find_leaf
     max_depth: jnp.ndarray  # int32 scalar — max depth this search
@@ -308,6 +326,8 @@ def init_tree(env, root_state, capacity: int, value_size: int) -> Tree:
         player=jnp.zeros((rows,), jnp.int32),
         edge_prior=jnp.zeros((rows,), jnp.float32),
         expanded=_alloc_rows(rows, _words32(A), jnp.uint32),
+        nba=jnp.zeros((rows,), jnp.int32),
+        nbp=jnp.full((rows,), NBP_PRISTINE, jnp.float32),
         next_free=jnp.int32(1),
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),
@@ -396,7 +416,6 @@ def descend(tree: Tree, spec: SearchSpec):
     qc = tree.q[:-1]
     eany_c = eany[:-1]
     iota_n = jax.lax.iota(jnp.int32, parent.shape[0])
-    iota_a = jax.lax.iota(jnp.int32, A)
 
     def cond(carry):
         _node, _action, _child, _depth, done, _p = carry
@@ -423,14 +442,24 @@ def descend(tree: Tree, spec: SearchSpec):
         # next walk, so this clause is inert at leaf_batch=1).
         term_c = jnp.any(sel_c & (eany_c | (nf == 0)))
 
-        # Best unexpanded valid action, in action space.
+        # Best unexpanded valid action, in action space. Picked by RAW prior
+        # (then scored once): u = fpu + cpuct*p*sqrt_n is monotonic in p, so
+        # argmax(p) == argmax(u) mathematically — but computing the affine u
+        # per action in f32 rounds away tie-noise-sized prior differences
+        # and manufactures ties that the rank-walk pointer (Tree.nba) never
+        # sees. The raw-prior pick keeps this walk bit-aligned with the
+        # pointer (and is closer to the reference's C-double uct,
+        # MCTS.pyx:86-87, than an f32-rounded affine would be).
         pv = _row(tree.prior, node, A)  # packed prior/valid row
         xrow = _row(tree.expanded, node, W32)
         valid_u = (pv >= 0.0) & ~_expand_bits(xrow, A)
-        u = jnp.where(valid_u, fpu_value + spec.cpuct * pv * sqrt_n, -jnp.inf)
-        a_u = jnp.argmax(u).astype(jnp.int32)
-        best_u = jnp.max(u)
-        pv_u = jnp.sum(jnp.where((iota_a == a_u) & valid_u, pv, 0.0))
+        pv_m = jnp.where(valid_u, pv, -jnp.inf)
+        a_u = jnp.argmax(pv_m).astype(jnp.int32)
+        pv_u = jnp.max(pv_m)
+        has_u = pv_u >= 0.0
+        best_u = jnp.where(has_u,
+                           fpu_value + spec.cpuct * pv_u * sqrt_n, -jnp.inf)
+        pv_u = jnp.where(has_u, pv_u, 0.0)
 
         child_wins = best_c > best_u  # exact tie → unexpanded action
         action = jnp.where(child_wins, a_c, a_u).astype(jnp.int32)
@@ -469,6 +498,31 @@ def _set_expanded_bit(expanded: jnp.ndarray, node, action, active,
         onehot = jax.lax.iota(jnp.int32, expanded.shape[0]) \
             == node * W32 + word
     return jnp.where(onehot & active, expanded | bit, expanded)
+
+
+def _next_best(prior_row: jnp.ndarray, p_star=None, a_star=None):
+    """(action, prior) of the best valid action strictly BELOW ``(p_star,
+    a_star)`` in descending-(prior, -index) order — the rank-walk pointer
+    advance. With ``p_star=None``, the unrestricted best (fresh-row init).
+
+    The tie order ((p, -index), i.e. equal priors break toward the LOWER
+    index) matches ``jnp.argmax``'s first-max rule exactly, so the pointer
+    tracks the XLA walk's picks even at exactly tied priors (tie_noise=0).
+    Invalid actions store INVALID_PRIOR < 0 and are excluded by the >= 0
+    test. Returns (int32 action, float32 prior-or-NBP_NONE). Broadcasts over
+    leading batch axes.
+    """
+    A = prior_row.shape[-1]
+    mask = prior_row >= 0.0
+    if p_star is not None:
+        iota_a = jnp.arange(A, dtype=jnp.int32)
+        below = (prior_row < p_star[..., None]) | (
+            (prior_row == p_star[..., None]) & (iota_a > a_star[..., None]))
+        mask = mask & below
+    vals = jnp.where(mask, prior_row, NBP_NONE)
+    a = jnp.argmax(vals, axis=-1).astype(jnp.int32)
+    p = jnp.max(vals, axis=-1)
+    return a, p
 
 
 def _win_valids(env, state):
@@ -514,6 +568,11 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
         # ---- allocation (masked single-row scatters) -----------------------
         slot = jnp.where(need_alloc, tree.next_free, DUMMY)
         node_state = _scatter_state(tree.node_state, child_state, slot)
+        # Advance the parent's rank-walk pointer past the action just
+        # expanded (one row pass; see _next_best / Tree.nba).
+        nb_a, nb_p = _next_best(_row(tree.prior, node, tree.num_actions),
+                                p_sel, action)
+        upd = jnp.where(need_alloc, node, DUMMY)
         # No child-pointer array exists: writing (parent, parent_action) at
         # the new slot IS the edge insertion (see child_row).
         tree = tree.replace(
@@ -523,6 +582,8 @@ def apply_walk(env, tree: Tree, node, action, child, depth, skip_walk,
             edge_prior=tree.edge_prior.at[slot].set(p_sel),
             expanded=_set_expanded_bit(tree.expanded, node, action,
                                        need_alloc, tree.num_actions),
+            nba=tree.nba.at[upd].set(nb_a),
+            nbp=tree.nbp.at[upd].set(nb_p),
             next_free=tree.next_free + need_alloc.astype(jnp.int32),
         )
         leaf = jnp.where(skip_walk, ROOT, jnp.where(need_alloc, slot, child))
@@ -554,12 +615,18 @@ def _apply_walk_uniform(env, tree, node, action, child, depth, skip_walk,
     slot = jnp.asarray(uniform_slot, jnp.int32)
     alloc_row = jnp.where(need_alloc, slot, DUMMY)
     win_vec, valid_vec = _win_valids(env, child_state)
+    # Advance the parent's rank-walk pointer (see _next_best / Tree.nba).
+    nb_a, nb_p = _next_best(_row(tree.prior, node, tree.num_actions),
+                            p_sel, action)
+    upd = jnp.where(need_alloc, node, DUMMY)
     tree = tree.replace(
         node_state=_scatter_state_uniform(tree.node_state, child_state, slot),
         parent=tree.parent.at[alloc_row].set(node),
         parent_action=tree.parent_action.at[alloc_row].set(action),
         expanded=_set_expanded_bit(tree.expanded, node, action, need_alloc,
                                    tree.num_actions),
+        nba=tree.nba.at[upd].set(nb_a),
+        nbp=tree.nbp.at[upd].set(nb_p),
         # Unconditional at the uniform slot: non-allocating games leave junk
         # there, unreachable because their parent row stays UNVISITED.
         edge_prior=tree.edge_prior.at[slot].set(p_sel),
@@ -745,12 +812,21 @@ def install_prior(tree: Tree, pi: jnp.ndarray, spec: SearchSpec,
     # Pack the valid mask into the stored row (INVALID_PRIOR sentinel) so the
     # walk needs only this one row read per step.
     new_prior = jnp.where(valids, new_prior, jnp.float32(INVALID_PRIOR))
+    # Fresh rank-walk pointer: the row's overall best valid action (no
+    # children exist at install time; see _next_best / Tree.nba).
+    nb_a, nb_p = _next_best(new_prior)
     if uniform_slot is not None:
-        return tree.replace(prior=_set_row_uniform(
-            tree.prior, jnp.asarray(uniform_slot, jnp.int32), new_prior))
+        slot = jnp.asarray(uniform_slot, jnp.int32)
+        return tree.replace(
+            prior=_set_row_uniform(tree.prior, slot, new_prior),
+            nba=tree.nba.at[slot].set(nb_a),
+            nbp=tree.nbp.at[slot].set(nb_p),
+        )
     is_terminal = jnp.any(_row(tree.e, leaf, tree.value_size) > 0)
     prior_row = jnp.where(is_terminal, DUMMY, leaf)
-    return tree.replace(prior=_set_row(tree.prior, prior_row, new_prior))
+    return tree.replace(prior=_set_row(tree.prior, prior_row, new_prior),
+                        nba=tree.nba.at[prior_row].set(nb_a),
+                        nbp=tree.nbp.at[prior_row].set(nb_p))
 
 
 def backup(tree: Tree, value: jnp.ndarray, spec: SearchSpec) -> Tree:
@@ -846,7 +922,7 @@ def slice_batched_rows(trees: Tree, n: int) -> Tree:
         valids=cut(trees.valids), prior=cut(trees.prior), n=cut(trees.n),
         q=cut(trees.q), v=cut(trees.v), e=cut(trees.e),
         player=cut(trees.player), edge_prior=cut(trees.edge_prior),
-        expanded=cut(trees.expanded),
+        expanded=cut(trees.expanded), nba=cut(trees.nba), nbp=cut(trees.nbp),
     )
 
 
@@ -876,6 +952,7 @@ def merge_batched_rows(full: Tree, part: Tree) -> Tree:
         e=m(full.e, part.e), player=m(full.player, part.player),
         edge_prior=m(full.edge_prior, part.edge_prior),
         expanded=m(full.expanded, part.expanded),
+        nba=m(full.nba, part.nba), nbp=m(full.nbp, part.nbp),
         next_free=part.next_free, depth=part.depth,
         max_depth=part.max_depth, leaf=part.leaf,
     )
@@ -966,6 +1043,11 @@ def reroot(env, tree: Tree, action: jnp.ndarray) -> Tree:
         player=live(tree.player[gather_idx], 0),
         edge_prior=live(tree.edge_prior[gather_idx], 0.0).at[ROOT].set(0.0),
         expanded=live(take_rows(tree.expanded, _words32(A)), 0, _words32(A)),
+        # Rank-walk pointers ride along unchanged: action ids do not remap
+        # under compaction, and kept nodes keep their full children sets so
+        # the descending-(prior, -index) expansion invariant is preserved.
+        nba=live(tree.nba[gather_idx], 0),
+        nbp=live(tree.nbp[gather_idx], NBP_PRISTINE),
         next_free=count,
         depth=jnp.int32(0),
         max_depth=jnp.int32(0),

@@ -60,8 +60,17 @@ class TreeT:
     # ~45% of all connect4 tree-op device time)
     parent: jnp.ndarray  # int32[N, B]
     parent_action: jnp.ndarray  # int32[N, B]
-    valids: jnp.ndarray  # float32[N*A, B] (0/1 — the walk kernel's dtype)
-    prior: jnp.ndarray  # float32[N*A, B]
+    # Big-row hybrid (``big_rows=True``, action spaces at/above the lane
+    # tile — hnefatafl A=2420, chess A=4672): ``prior``/``valids`` keep the
+    # batched Tree's BATCH-MAJOR [B, N, A] layout (per-game row gathers and
+    # uniform-slot slab writes hit the fast paths there; a game-minor
+    # [N*A, B] copy would also relayout gigabytes per conversion), and
+    # ``expanded`` passes through UNMAINTAINED — the descent kernel reads
+    # only the rank-walk pointers (tree.Tree.nba), and the bitmask is
+    # reconstructed from the descending-(prior, -index) expansion invariant
+    # at conversion back (see _reconstruct_expanded_big).
+    valids: jnp.ndarray  # float32[N*A, B] (0/1) | bool[B, N, A] (big_rows)
+    prior: jnp.ndarray  # float32[N*A, B] | float32[B, N, A] (big_rows)
     n: jnp.ndarray  # int32[N, B]
     q: jnp.ndarray  # float32[N, B]
     v: jnp.ndarray  # float32[N, B]
@@ -69,25 +78,29 @@ class TreeT:
     eany: jnp.ndarray  # float32[N, B] — 1.0 where the node is terminal
     player: jnp.ndarray  # int32[N, B]
     edge_prior: jnp.ndarray  # float32[N, B] — see tree.Tree.edge_prior
-    expanded: jnp.ndarray  # uint32[N*W32, B] — see tree.Tree.expanded
+    expanded: jnp.ndarray  # uint32[N*W32, B] — or Tree layout (big_rows)
+    nba: jnp.ndarray  # int32[N, B] — rank-walk pointer (tree.Tree.nba)
+    nbp: jnp.ndarray  # float32[N, B] — rank-walk pointer prior
     next_free: jnp.ndarray  # int32[B]
     depth: jnp.ndarray  # int32[B]
     max_depth: jnp.ndarray  # int32[B]
     leaf: jnp.ndarray  # int32[B]
     num_actions: int = struct.field(pytree_node=False, default=0)
     value_size: int = struct.field(pytree_node=False, default=3)
+    big_rows: bool = struct.field(pytree_node=False, default=False)
 
 
 def tree_to_tree_t(trees: Tree) -> TreeT:
     """Vmapped batch-major Tree [B, ...] → game-minor TreeT.
 
-    Requires the flat row-array layout (A and value_size below the lane
-    tile), which always holds where this path is enabled (the Pallas walk
-    gate caps N*A at a fraction of it).
+    Requires flat node_state rows (every env state leaf below the lane
+    tile). ``prior``/``valids`` may be flat (small A, transposed to
+    game-minor) or big-row 3-D [B, N, A] (kept batch-major — the hybrid
+    layout, see TreeT docstring).
     """
-    assert trees.prior.ndim == 2, "TreeT requires flat row arrays"
     assert all(b.ndim == 2 for b in jax.tree_util.tree_leaves(
         trees.node_state)), "TreeT requires flat node_state rows"
+    big = trees.prior.ndim == 3
     B = trees.n.shape[0]
     N = trees.n.shape[1]
     V = trees.value_size
@@ -98,8 +111,9 @@ def tree_to_tree_t(trees: Tree) -> TreeT:
         node_state=jax.tree_util.tree_map(t3, trees.node_state),
         parent=t(trees.parent),
         parent_action=t(trees.parent_action),
-        valids=t(trees.valids.astype(jnp.float32)),
-        prior=t(trees.prior),
+        valids=(trees.valids if big
+                else t(trees.valids.astype(jnp.float32))),
+        prior=trees.prior if big else t(trees.prior),
         n=t(trees.n),
         q=t(trees.q),
         v=t(trees.v),
@@ -107,33 +121,80 @@ def tree_to_tree_t(trees: Tree) -> TreeT:
         eany=t(eany.astype(jnp.float32)),
         player=t(trees.player),
         edge_prior=t(trees.edge_prior),
-        expanded=t(trees.expanded),
+        expanded=trees.expanded if big else t(trees.expanded),
+        nba=t(trees.nba),
+        nbp=t(trees.nbp),
         next_free=trees.next_free,
         depth=trees.depth,
         max_depth=trees.max_depth,
         leaf=trees.leaf,
         num_actions=trees.num_actions,
         value_size=trees.value_size,
+        big_rows=big,
     )
+
+
+def _reconstruct_expanded_big(prior, nbp, nba, num_actions: int,
+                              like: jnp.ndarray) -> jnp.ndarray:
+    """Rebuild the packed expanded-action bitmask of a big-row TreeT from
+    the rank-walk invariant: action ``a`` of node ``m`` is expanded iff its
+    stored prior sits strictly ABOVE the node's pointer ``(nbp, nba)`` in
+    descending-(prior, -index) order (see tree.Tree.nba — expansions happen
+    exactly in that order, so the pointer partitions the row). Runs once per
+    search at conversion, chunked over node rows to bound transients.
+
+    ``like`` is the pass-through expanded buffer whose layout/shape the
+    result must match ([B, N*W32] flat or [B, N, W32]).
+    """
+    B, N, A = prior.shape
+    W32 = T._words32(A)
+    Ap = W32 * 32
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    iota_a = jnp.arange(A, dtype=jnp.int32)
+    nbp_b = jnp.transpose(nbp, (1, 0))  # [B, N]
+    nba_b = jnp.transpose(nba, (1, 0))
+    CH = 8
+    outs = []
+    for i in range(0, N, CH):
+        rows = prior[:, i:i + CH]  # [B, c, A]
+        p_star = nbp_b[:, i:i + CH][..., None]
+        a_star = nba_b[:, i:i + CH][..., None]
+        above = (rows > p_star) | ((rows == p_star) & (iota_a < a_star))
+        bits = (rows >= 0.0) & above  # [B, c, A]
+        c = bits.shape[1]
+        if A < Ap:
+            bits = jnp.concatenate(
+                [bits, jnp.zeros((B, c, Ap - A), jnp.bool_)], axis=-1)
+        words = jnp.sum(
+            bits.reshape(B, c, W32, 32).astype(jnp.uint32) << shifts,
+            axis=-1, dtype=jnp.uint32)
+        outs.append(words)  # [B, c, W32]
+    out = jnp.concatenate(outs, axis=1)  # [B, N, W32]
+    return out.reshape(like.shape)
 
 
 def tree_t_to_tree(tt: TreeT) -> Tree:
     """Inverse of :func:`tree_to_tree_t` (drops the derived ``eany``)."""
     t = lambda x: jnp.transpose(x, (1, 0))  # noqa: E731
     t3 = lambda x: t(x.reshape(-1, x.shape[-1]))  # noqa: E731
+    big = tt.big_rows
     return Tree(
         node_state=jax.tree_util.tree_map(t3, tt.node_state),
         parent=t(tt.parent),
         parent_action=t(tt.parent_action),
-        valids=t(tt.valids) > 0.5,
-        prior=t(tt.prior),
+        valids=tt.valids if big else t(tt.valids) > 0.5,
+        prior=tt.prior if big else t(tt.prior),
         n=t(tt.n),
         q=t(tt.q),
         v=t(tt.v),
         e=t(tt.e),
         player=t(tt.player),
         edge_prior=t(tt.edge_prior),
-        expanded=t(tt.expanded),
+        expanded=(_reconstruct_expanded_big(
+            tt.prior, tt.nbp, tt.nba, tt.num_actions, tt.expanded)
+            if big else t(tt.expanded)),
+        nba=t(tt.nba),
+        nbp=t(tt.nbp),
         next_free=tt.next_free,
         depth=tt.depth,
         max_depth=tt.max_depth,
@@ -159,13 +220,21 @@ def slice_rows_t(tt: TreeT, n: int) -> TreeT:
         per = buf.shape[0] // full
         return buf[: n * per]
 
+    def cut_row(buf):  # big-row batch-major buffers: node axis is axis 1
+        if not tt.big_rows:
+            return cut(buf)
+        if buf.ndim == 3:
+            return buf[:, :n]
+        per = buf.shape[1] // full  # flat [B, N*size]
+        return buf[:, : n * per]
+
     return tt.replace(
         node_state=jax.tree_util.tree_map(cut, tt.node_state),
         parent=cut(tt.parent), parent_action=cut(tt.parent_action),
-        valids=cut(tt.valids), prior=cut(tt.prior), n=cut(tt.n),
+        valids=cut_row(tt.valids), prior=cut_row(tt.prior), n=cut(tt.n),
         q=cut(tt.q), v=cut(tt.v), e=cut(tt.e), eany=cut(tt.eany),
         player=cut(tt.player), edge_prior=cut(tt.edge_prior),
-        expanded=cut(tt.expanded),
+        expanded=cut_row(tt.expanded), nba=cut(tt.nba), nbp=cut(tt.nbp),
     )
 
 
@@ -187,6 +256,7 @@ def merge_rows_t(full: TreeT, part: TreeT) -> TreeT:
         player=m(full.player, part.player),
         edge_prior=m(full.edge_prior, part.edge_prior),
         expanded=m(full.expanded, part.expanded),
+        nba=m(full.nba, part.nba), nbp=m(full.nbp, part.nbp),
         next_free=part.next_free, depth=part.depth,
         max_depth=part.max_depth, leaf=part.leaf,
     )
@@ -268,13 +338,19 @@ def _write_expansion(tt: TreeT, slot, win, valid, player) -> TreeT:
     (MCTS.pyx:223-226), each a tiny leading-axis slab."""
     V = tt.value_size
     A = tt.num_actions
+    if tt.big_rows:  # batch-major [B, N, A]: one [B, 1, A] slab
+        new_valids = jax.lax.dynamic_update_slice(
+            tt.valids, valid[:, None, :].astype(tt.valids.dtype),
+            (jnp.int32(0), slot, jnp.int32(0)))
+    else:
+        new_valids = _dus_rows(tt.valids, slot * A,
+                               jnp.transpose(valid, (1, 0)))
     return tt.replace(
         player=_dus_rows(tt.player, slot, player[None, :]),
         e=_dus_rows(tt.e, slot * V, jnp.transpose(win, (1, 0))),
         eany=_dus_rows(tt.eany, slot,
                        jnp.any(win > 0, axis=-1)[None, :]),
-        valids=_dus_rows(tt.valids, slot * A,
-                         jnp.transpose(valid, (1, 0))),
+        valids=new_valids,
     )
 
 
@@ -333,6 +409,28 @@ def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
     B = node.shape[0]
     old_p = jax.lax.dynamic_slice(tt.parent, (slot, 0), (1, B))
     old_a = jax.lax.dynamic_slice(tt.parent_action, (slot, 0), (1, B))
+    # Advance the expansion parent's rank-walk pointer (tree._next_best):
+    # one prior-row read per game per sim — the only per-sim [A]-row pass.
+    if tt.big_rows:
+        prow = jnp.take_along_axis(  # [B, A] fast batched row gather
+            tt.prior, node[:, None, None], axis=1)[:, 0]
+        # Big-row mode skips the expanded bitmask entirely: the kernel
+        # reads only the pointers, and the mask is reconstructed from the
+        # expansion-order invariant at conversion (tree_t_to_tree).
+        new_expanded = tt.expanded
+    else:
+        N = tt.parent.shape[0]
+        A = tt.num_actions
+        sel_n = (jax.lax.iota(jnp.int32, N)[:, None] == node[None, :])
+        prow = jnp.transpose(jnp.sum(
+            jnp.where(sel_n[:, None, :], tt.prior.reshape(N, A, B), 0.0),
+            axis=0), (1, 0))  # [B, A]
+        new_expanded = _set_expanded_bit_t(tt.expanded, node, action,
+                                           need_alloc, tt.num_actions)
+    nb_a, nb_p = T._next_best(prow, p_sel, action)  # [B] each
+    Nrows = tt.parent.shape[0]
+    sel_upd = ((jax.lax.iota(jnp.int32, Nrows)[:, None] == node[None, :])
+               & need_alloc[None, :])
     tt = tt.replace(
         node_state=_scatter_states_uniform(tt.node_state, child_states, slot),
         parent=_dus_rows(tt.parent, slot,
@@ -340,8 +438,9 @@ def apply_walk_observe_t(env, tt: TreeT, node, action, child, depth,
         parent_action=_dus_rows(
             tt.parent_action, slot,
             jnp.where(need_alloc[None, :], action[None, :], old_a)),
-        expanded=_set_expanded_bit_t(tt.expanded, node, action, need_alloc,
-                                     tt.num_actions),
+        expanded=new_expanded,
+        nba=jnp.where(sel_upd, nb_a[None, :], tt.nba),
+        nbp=jnp.where(sel_upd, nb_p[None, :], tt.nbp),
         # Unconditional: non-allocating games leave junk at an unreachable
         # slot (their parent row stays UNVISITED).
         edge_prior=_dus_rows(tt.edge_prior, slot, p_sel[None, :]),
@@ -428,7 +527,16 @@ def install_prior_t(tt: TreeT, pi: jnp.ndarray, spec: SearchSpec,
                               new_prior)
     # Pack the valid mask into the stored row (tree.INVALID_PRIOR sentinel).
     new_prior = jnp.where(valids, new_prior, jnp.float32(T.INVALID_PRIOR))
-
-    return tt.replace(prior=_dus_rows(
-        tt.prior, jnp.asarray(slot, jnp.int32) * A,
-        jnp.transpose(new_prior, (1, 0))))
+    # Fresh rank-walk pointer for the installed row (tree.install_prior).
+    nb_a, nb_p = T._next_best(new_prior)  # [B] each
+    slot = jnp.asarray(slot, jnp.int32)
+    if tt.big_rows:  # batch-major [B, N, A]: one [B, 1, A] slab
+        prior_out = jax.lax.dynamic_update_slice(
+            tt.prior, new_prior[:, None, :], (jnp.int32(0), slot,
+                                              jnp.int32(0)))
+    else:
+        prior_out = _dus_rows(tt.prior, slot * A,
+                              jnp.transpose(new_prior, (1, 0)))
+    return tt.replace(prior=prior_out,
+                      nba=_dus_rows(tt.nba, slot, nb_a[None, :]),
+                      nbp=_dus_rows(tt.nbp, slot, nb_p[None, :]))

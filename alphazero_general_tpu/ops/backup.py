@@ -105,7 +105,15 @@ def backup_batched_pallas(parent, player, leaf, value, max_depth, n, q,
     Returns updated (n, q, v).
     """
     B, N = parent.shape
-    assert B % LANES == 0
+    Bp = -(-B // LANES) * LANES
+    if Bp != B:  # pad to a lane tile; padded lanes back up a no-op root
+        pad1 = lambda x: jnp.pad(x, ((0, Bp - B),))  # noqa: E731
+        pad2 = lambda x: jnp.pad(x, ((0, Bp - B), (0, 0)))  # noqa: E731
+        n2, q2, v2 = backup_batched_pallas(
+            pad2(parent), pad2(player), pad1(leaf), pad2(value),
+            pad1(max_depth), pad2(n), pad2(q), pad2(v), spec,
+            interpret=interpret)
+        return n2[:B], q2[:B], v2[:B]
 
     pt = jnp.transpose(parent, (1, 0))
     plt_ = jnp.transpose(player, (1, 0))
@@ -163,7 +171,16 @@ def backup_batched_pallas_t(parent, player, leaf, value, max_depth, n, q,
     transposes in or out; only the per-game [B]-vectors (leaf/value/maxd)
     are reshaped. Returns updated (n, q, v) columns."""
     N, B = parent.shape
-    assert B % LANES == 0
+    Bp = -(-B // LANES) * LANES
+    if Bp != B:  # lane-tile pad; see backup_batched_pallas
+        padc = lambda x: jnp.pad(x, ((0, 0), (0, Bp - B)))  # noqa: E731
+        pad1 = lambda x: jnp.pad(x, ((0, Bp - B),))  # noqa: E731
+        pad2 = lambda x: jnp.pad(x, ((0, Bp - B), (0, 0)))  # noqa: E731
+        n2, q2, v2 = backup_batched_pallas_t(
+            padc(parent), padc(player), pad1(leaf), pad2(value),
+            pad1(max_depth), padc(n), padc(q), padc(v), spec,
+            interpret=interpret)
+        return n2[:, :B], q2[:, :B], v2[:, :B]
 
     vt = jnp.transpose(value, (1, 0))
     leaf2 = leaf[None, :]

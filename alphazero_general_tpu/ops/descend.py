@@ -5,15 +5,19 @@ fixed dispatch/sync cost per `lax.while_loop` iteration — at typical tree
 depths that overhead dominates the whole self-play step (the network forward
 is ~100x cheaper than the walk). This kernel fuses the complete walk for a
 block of games into one program: tree arrays live in VMEM in game-minor
-layout ([N, A, LANES] — games ride the 128-wide lane dimension), per-lane
-dynamic node indexing is expressed as masked reductions over the node axis,
-and the while loop runs entirely on-chip.
+layout ([N, LANES] columns — games ride the 128-wide lane dimension), and
+the while loop runs entirely on-chip.
 
-Per-step work is ONE [N, A, LANES] pass (the prior-row read) plus [N, LANES]
-and [A, LANES] column math (see mcts/tree.py `descend` for the scoring
-decomposition): visited children score in node space over parent links /
-edge priors, the best UNexpanded action scores over the packed prior row
-masked by the expanded-action bitmask. No [A, N] cross-term remains.
+The kernel's footprint is INDEPENDENT of the action-space size: it never
+touches the [N, A] prior rows. The unexpanded arm of the PUCT split only
+ever needs the node's best unexpanded valid action — and because fpu/sqrt_n
+are constant across actions at a node, that action is the argmax-prior
+unexpanded one, which the tree maintains incrementally as the per-node
+rank-walk pointer columns ``nba``/``nbp`` (see mcts/tree.py Tree.nba:
+actions expand in strictly descending (prior, -index) order, so one pointer
+advance per expansion suffices). Per walk step the kernel does a handful of
+[N, LANES] masked-reduction passes; nothing scales with A — hnefatafl
+(A=2420) and chess (A=4672) run the same kernel as connect4 (A=7).
 
 Semantics are identical to `descend` (MCTS.pyx:208-217): PUCT with
 FPU-reduction from seen policy, stop at an unallocated edge or terminal
@@ -30,22 +34,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from alphazero_general_tpu.mcts.tree import SearchSpec, _words32
+from alphazero_general_tpu.mcts.tree import SearchSpec
 
 LANES = 128
 NEG_INF = -3.0e38
 UNVISITED = -1  # plain int: jnp scalars would be captured consts in the kernel
 
 
-def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
-                    v_ref, ep_ref, eany_ref, xb_ref,
+def _descend_kernel(parent_ref, pa_ref, n_ref, q_ref,
+                    v_ref, ep_ref, eany_ref, nba_ref, nbp_ref,
                     out_ref, psel_ref,
-                    *, spec: SearchSpec, num_nodes: int, num_actions: int):
-    N, A = num_nodes, num_actions
-    W32 = _words32(A)
+                    *, spec: SearchSpec, num_nodes: int):
+    N = num_nodes
     node_iota1 = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
-    node_iota2 = jax.lax.broadcasted_iota(jnp.int32, (N, A, LANES), 0)
-    act_iota1 = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
 
     n_all = n_ref[...]  # [N, LANES] i32
     n_all_f = n_all.astype(jnp.float32)
@@ -55,12 +56,11 @@ def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
     eany_all = eany_ref[...]  # [N, LANES] f32 (1.0 = terminal)
     parent_all = parent_ref[...]  # [N, LANES] i32
     pa_all = pa_ref[...]  # [N, LANES] i32
-    xb_all = xb_ref[...].reshape(N, W32, LANES)  # [N, W32, LANES] i32 bits
+    nba_all = nba_ref[...]  # [N, LANES] i32 rank-walk pointer: action id
+    nbp_all = nbp_ref[...]  # [N, LANES] f32 rank-walk pointer: prior
     # The dummy write sink (last row) accumulates junk parent/parent_action
     # values from masked scatters; it must never be derived as a child.
     not_dummy1 = node_iota1 < (N - 1)
-    nodew_iota = jax.lax.broadcasted_iota(jnp.int32, (N, W32, LANES), 0)
-    shift_iota = jax.lax.broadcasted_iota(jnp.int32, (W32, 32, LANES), 1)
 
     root_n = n_all[0]  # [LANES]
     root_eany = eany_all[0]
@@ -74,7 +74,8 @@ def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
     def body(carry):
         node, action, child, depth, done_i, p_sel = carry  # [1, LANES] each
         done = done_i > 0
-        sel1f = (node_iota1 == node).astype(jnp.float32)  # [N, LANES]
+        sel1 = node_iota1 == node  # [N, LANES]
+        sel1f = sel1.astype(jnp.float32)
         cur_n = jnp.sum(n_all_f * sel1f, axis=0, keepdims=True)  # [1, LANES]
         cur_v = jnp.sum(v_all * sel1f, axis=0, keepdims=True)
 
@@ -102,24 +103,14 @@ def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
             n_all_f == 0.0, 1.0, 0.0)
         term_c = jnp.sum(stopv * selcf, axis=0, keepdims=True) > 0.5
 
-        # Prior row of the current node — the ONE [N, A, LANES] pass.
-        sel3f = (node_iota2 == node[None]).astype(jnp.float32)
-        pv_row = jnp.sum(pv_ref[...] * sel3f, axis=0)  # [A, LANES]
-        # Expanded-action bits of the current node.
-        selw = (nodew_iota == node[:, None, :])
-        xrow = jnp.sum(jnp.where(selw, xb_all, 0), axis=0)  # [W32, LANES]
-        bits = jax.lax.shift_right_logical(
-            jnp.broadcast_to(xrow[:, None, :], (W32, 32, LANES)),
-            shift_iota) & 1
-        unexpanded = bits.reshape(W32 * 32, LANES)[:A] == 0  # [A, LANES]
-
-        valid_u = (pv_row >= 0.0) & unexpanded
-        u = jnp.where(valid_u,
-                      fpu_value + spec.cpuct * pv_row * sqrt_n, NEG_INF)
-        a_u = jnp.argmax(u, axis=0).astype(jnp.int32)[None]  # [1, LANES]
-        best_u = jnp.max(u, axis=0, keepdims=True)
-        pv_u = jnp.sum(jnp.where((act_iota1 == a_u) & valid_u, pv_row, 0.0),
-                       axis=0, keepdims=True)
+        # Best unexpanded valid action — the node's rank-walk pointer
+        # (tree.Tree.nba), maintained outside the kernel. One [N, LANES]
+        # reduction each; the old [N, A, LANES] prior-row pass is gone.
+        a_u = jnp.sum(jnp.where(sel1, nba_all, 0), axis=0, keepdims=True)
+        pv_u = jnp.sum(nbp_all * sel1f, axis=0, keepdims=True)
+        has_u = pv_u >= 0.0  # NBP_NONE sentinel < 0 = arm empty
+        best_u = jnp.where(has_u,
+                           fpu_value + spec.cpuct * pv_u * sqrt_n, NEG_INF)
 
         child_wins = best_c > best_u  # exact tie → unexpanded action
         new_action = jnp.where(child_wins, a_c, a_u)
@@ -150,40 +141,43 @@ def _descend_kernel(parent_ref, pa_ref, pv_ref, n_ref, q_ref,
     psel_ref[0, :] = p_sel[0]
 
 
-def _call_descend(parent, parent_action, pv, n, q, v, edge_prior, eany,
-                  expanded, spec: SearchSpec, interpret: bool):
-    """Shared pallas_call: all inputs already game-minor ([N, B] columns,
-    [N, A, B] prior block, [N*W32, B] expanded bits as int32)."""
-    N, A, B = pv.shape
-    W32 = _words32(A)
-    assert B % LANES == 0, f"batch {B} must be a multiple of {LANES}"
+def _call_descend(parent, parent_action, n, q, v, edge_prior, eany,
+                  nba, nbp, spec: SearchSpec, interpret: bool):
+    """Shared pallas_call: all inputs already game-minor [N, B] columns.
+
+    Batches that are not a lane-tile multiple are zero-padded (a padded
+    lane's root has n == 0, so its walk is done before it starts) and the
+    outputs sliced back — production batches are multiples of 128, so the
+    pad path only runs in tests/dryruns."""
+    N, B = parent.shape
+    Bp = -(-B // LANES) * LANES
+    if Bp != B:
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, Bp - B)))  # noqa: E731
+        o = _call_descend(pad(parent), pad(parent_action), pad(n), pad(q),
+                          pad(v), pad(edge_prior), pad(eany), pad(nba),
+                          pad(nbp), spec, interpret)
+        return tuple(x[:B] for x in o)
 
     grid = (B // LANES,)
-    kernel = functools.partial(
-        _descend_kernel, spec=spec, num_nodes=N, num_actions=A
-    )
+    kernel = functools.partial(_descend_kernel, spec=spec, num_nodes=N)
 
-    def nab():
-        return pl.BlockSpec((N, A, LANES), lambda g: (0, 0, g),
-                            memory_space=pltpu.VMEM)
-
-    def nb(rows=N):
-        return pl.BlockSpec((rows, LANES), lambda g: (0, g),
+    def nb():
+        return pl.BlockSpec((N, LANES), lambda g: (0, g),
                             memory_space=pltpu.VMEM)
 
     out, psel = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            nb(),   # parent
-            nb(),   # parent_action
-            nab(),  # packed prior/valid
-            nb(),   # n
-            nb(),   # q
-            nb(),   # v
-            nb(),   # edge_prior
-            nb(),   # eany
-            nb(N * W32),  # expanded bits
+            nb(),  # parent
+            nb(),  # parent_action
+            nb(),  # n
+            nb(),  # q
+            nb(),  # v
+            nb(),  # edge_prior
+            nb(),  # eany
+            nb(),  # nba
+            nb(),  # nbp
         ],
         out_specs=(
             pl.BlockSpec((4, LANES), lambda g: (0, g),
@@ -196,60 +190,33 @@ def _call_descend(parent, parent_action, pv, n, q, v, edge_prior, eany,
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         interpret=interpret,
-    )(parent, parent_action, pv, n, q, v, edge_prior, eany, expanded)
+    )(parent, parent_action, n, q, v, edge_prior, eany, nba, nbp)
     return out[0], out[1], out[2], out[3], psel[0]
 
 
-def _bits_i32(expanded: jnp.ndarray) -> jnp.ndarray:
-    """uint32 bitmask → int32 for the kernel (Mosaic-friendly dtype; all
-    bit ops use logical shifts so the sign bit is inert)."""
-    return jax.lax.bitcast_convert_type(expanded, jnp.int32)
-
-
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def descend_batched_pallas(parent, parent_action, pv, n, q, v, edge_prior,
-                           eany, expanded, spec: SearchSpec,
+def descend_batched_pallas(parent, parent_action, n, q, v, edge_prior,
+                           eany, nba, nbp, spec: SearchSpec,
                            interpret: bool = False):
-    """Batched walk. Inputs are the batched tree arrays (batch-major, as held
-    by the vmapped Tree) — transposed here to game-minor layout.
+    """Batched walk. Inputs are the batched tree columns (batch-major, as
+    held by the vmapped Tree) — transposed here to game-minor layout.
 
     Returns (node, action, child, depth, p_sel): int32[B] x4 + float32[B].
     """
-    pt = jnp.transpose(pv, (1, 2, 0))
-    part = jnp.transpose(parent, (1, 0))
-    pat = jnp.transpose(parent_action, (1, 0))
-    nt = jnp.transpose(n, (1, 0))
-    qt = jnp.transpose(q, (1, 0))
-    vvt = jnp.transpose(v, (1, 0))
-    ept = jnp.transpose(edge_prior, (1, 0))
-    et = jnp.transpose(eany.astype(jnp.float32), (1, 0))
-    xt = jnp.transpose(_bits_i32(expanded), (1, 0))
-    return _call_descend(part, pat, pt, nt, qt, vvt, ept, et, xt, spec,
-                         interpret)
-
-
-@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def descend_batched_pallas_t(parent, parent_action, pv, n, q, v, edge_prior,
-                             eany, expanded, spec: SearchSpec,
-                             interpret: bool = False):
-    """Game-minor twin of :func:`descend_batched_pallas`: inputs are ALREADY
-    [N, B] columns / [N, A, B] blocks (the persistent TreeT layout), so no
-    per-sim transposes happen at all."""
-    return _call_descend(parent, parent_action, pv, n, q, v, edge_prior,
-                         eany, _bits_i32(expanded), spec, interpret)
+    t = lambda x: jnp.transpose(x, (1, 0))  # noqa: E731
+    return _call_descend(t(parent), t(parent_action), t(n), t(q), t(v),
+                         t(edge_prior), t(eany.astype(jnp.float32)),
+                         t(nba), t(nbp), spec, interpret)
 
 
 def descend_batched_t(tt, spec: SearchSpec, interpret: bool = False):
-    """Walk on a game-minor TreeT.
+    """Walk on a game-minor TreeT — inputs are ALREADY [N, B] columns, so no
+    per-sim transposes happen at all.
 
     Returns (node, action, child, depth, skip_walk, p_sel)."""
-    N = tt.n.shape[0]
-    A = tt.num_actions
-    node, action, child, depth, p_sel = descend_batched_pallas_t(
-        tt.parent, tt.parent_action,
-        tt.prior.reshape(N, A, -1),
-        tt.n, tt.q, tt.v, tt.edge_prior, tt.eany, tt.expanded,
-        spec, interpret=interpret,
+    node, action, child, depth, p_sel = _call_descend(
+        tt.parent, tt.parent_action, tt.n, tt.q, tt.v, tt.edge_prior,
+        tt.eany, tt.nba, tt.nbp, spec, interpret=interpret,
     )
     skip_walk = (tt.n[0] == 0) | (tt.eany[0] > 0.5)
     depth = jnp.where(skip_walk, 0, depth)
@@ -260,20 +227,16 @@ def descend_batched(trees, spec: SearchSpec, interpret: bool = False):
     """Walk every game's tree; trees is a vmapped Tree pytree [B, ...].
 
     Returns (node, action, child, depth, skip_walk, p_sel) like
-    vmap(tree.descend) but as one fused kernel. The flat [B, N*A] row arrays
-    (see mcts/tree.py layout notes) are viewed as [B, N, A] here; the reshape
-    fuses into the kernel-input transposes.
+    vmap(tree.descend) but as one fused kernel.
     """
     B = trees.n.shape[0]
     N = trees.n.shape[1]
-    A = trees.num_actions
     V = trees.value_size
     eany = jnp.any(trees.e.reshape(B, N, V) > 0, axis=-1)
     node, action, child, depth, p_sel = descend_batched_pallas(
         trees.parent, trees.parent_action,
-        trees.prior.reshape(B, N, A),
-        trees.n, trees.q, trees.v, trees.edge_prior, eany, trees.expanded,
-        spec, interpret=interpret,
+        trees.n, trees.q, trees.v, trees.edge_prior, eany,
+        trees.nba, trees.nbp, spec, interpret=interpret,
     )
     skip_walk = (trees.n[:, 0] == 0) | eany[:, 0]
     depth = jnp.where(skip_walk, 0, depth)

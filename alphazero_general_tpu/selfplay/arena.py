@@ -46,6 +46,12 @@ class ArenaConfig(NamedTuple):
     sims: int = 100  # numMCTSSims (arena uses full sims; arenaMCTS=True)
     arena_temp: float = 0.25  # arenaTemp
     tree_capacity: int = 0
+    walk_impl: str = "auto"  # see SelfPlayConfig.walk_impl
+    # Owner routing: each model forwards ONLY the games whose seat it owns
+    # this turn (one group per model, arena.py eval_grouped) — the fix for
+    # the reference's known ~10x batched-arena cost (Arena.pyx:209). False
+    # falls back to every-model-evaluates-everything + select (bench A/B).
+    route_owner: bool = True
     spec: T.SearchSpec = T.SearchSpec(add_root_noise=False, add_root_temp=False)
 
     @property
@@ -67,6 +73,7 @@ class ArenaConfig(NamedTuple):
             sims=int(args.numMCTSSims),
             arena_temp=float(args.arenaTemp),
             tree_capacity=int(args.get("max_tree_nodes", 0)),
+            walk_impl=str(args.get("walk_impl", "auto")),
             spec=spec,
         )
 
@@ -154,7 +161,7 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
         states, done, result, length, t, rng = carry
         rng, r_search, r_action = jax.random.split(rng, 3)
 
-        if alternates:
+        if alternates and cfg.route_owner:
             eval_fn = lambda obs: eval_grouped(obs, t)  # noqa: E731
         else:
             # model of game g = model m with (m + group[g]) % N == player[g]
@@ -163,7 +170,8 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
 
         trees = constrain(
             S.init_batched_trees(env, states, cfg.capacity, value_size))
-        trees = S.search(env, trees, cfg.spec, eval_fn, cfg.sims, r_search)
+        trees = S.search(env, trees, cfg.spec, eval_fn, cfg.sims, r_search,
+                         walk_impl=cfg.walk_impl)
         pi = jax.vmap(lambda tr: T.probs(tr, cfg.arena_temp))(trees)
         action = jax.random.categorical(
             r_action, jnp.log(jnp.maximum(pi, 1e-30)), axis=-1

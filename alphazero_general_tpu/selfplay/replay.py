@@ -126,6 +126,149 @@ def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray):
     return out_o, out_p
 
 
+class StreamingFinalizer:
+    """Incremental, bounded-memory finalize (SURVEY §7 stage 4's host half).
+
+    ``finalize_sparse`` needs every round of an iteration in host RAM at
+    once, so host RSS scales with rounds x batch x obs — fine at one chip,
+    a pod-scale liability (VERDICT r2). This class consumes rounds as they
+    stream off the device and emits finished-game samples in bounded
+    flushes: memory is O(flush window + samples of still-open games), not
+    O(iteration). Semantics match finalize_sparse exactly — samples from
+    games that never finish are dropped, fast-round samples are never
+    stored (reference: the file_queue drain + per-game history,
+    SelfPlayAgent.pyx:161-196, Coach.py:363-386).
+
+    Usage::
+
+        fin = StreamingFinalizer(env, symmetric, sink)
+        for each round: fin.add_round(win, done, fast, obs=?, pi=?)
+        fin.finish()        # flushes the tail; open-game samples dropped
+
+    ``sink(obs, pi, value)`` receives float32 batches (already
+    symmetry-expanded when ``symmetric``).
+    """
+
+    #: Rounds buffered between flushes. Each flush closes every sample whose
+    #: episode ends inside the window and carries the rest forward.
+    WINDOW = 64
+
+    def __init__(self, env, symmetric: bool, sink):
+        self.env = env
+        self.symmetric = symmetric
+        self.sink = sink
+        self._win = []    # per-round [B, V]
+        self._done = []   # per-round [B] bool
+        self._fast = []   # per-round scalar bool
+        self._obs = []    # (local_round_idx, obs [B, ...]) non-fast only
+        self._pi = []
+        self._open = None  # carried (obs [P,...], pi [P,A], col [P]) or None
+        self.emitted = 0
+
+    def add_round(self, win, done, fast: bool, obs=None, pi=None) -> None:
+        self._win.append(np.asarray(win))
+        self._done.append(np.asarray(done))
+        self._fast.append(bool(fast))
+        if obs is not None:
+            self._obs.append((len(self._fast) - 1, np.asarray(obs)))
+            self._pi.append(np.asarray(pi))
+        if len(self._fast) >= self.WINDOW:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._fast:
+            return
+        win = np.stack(self._win)        # [K, B, V]
+        done = np.stack(self._done)      # [K, B]
+        fast = np.asarray(self._fast)
+        K, B = done.shape
+        V = win.shape[-1]
+        self._win, self._done, self._fast = [], [], []
+
+        # Reverse fill within the window (same recurrence as
+        # finalize_sparse); ``have`` marks samples whose episode END lies in
+        # this window — only those close now.
+        values = np.zeros((K, B, V), np.float32)
+        have = np.zeros((K, B), dtype=bool)
+        pending = np.zeros((B, V), np.float32)
+        got = np.zeros((B,), dtype=bool)
+        for t in range(K - 1, -1, -1):
+            ended = done[t]
+            pending[ended] = win[t][ended]
+            got |= ended
+            values[t] = pending
+            have[t] = got & ~fast[t]
+
+        out_obs, out_pi, out_val = [], [], []
+
+        # Carried samples from previous windows close at their column's
+        # FIRST episode end in this window.
+        if self._open is not None:
+            o_obs, o_pi, o_col = self._open
+            any_end = done.any(axis=0)            # [B]
+            first_t = done.argmax(axis=0)         # first done time per col
+            closes = any_end[o_col]
+            if closes.any():
+                cols = o_col[closes]
+                out_obs.append(o_obs[closes])
+                out_pi.append(o_pi[closes])
+                out_val.append(win[first_t[cols], cols].astype(np.float32))
+            keep = ~closes
+            self._open = ((o_obs[keep], o_pi[keep], o_col[keep])
+                          if keep.any() else None)
+
+        # Window samples: closed ones emit; open ones join the carry.
+        if self._obs:
+            full_idx = np.array([i for i, _ in self._obs])
+            obs_f = np.stack([o for _, o in self._obs])   # [Kf, B, ...]
+            pi_f = np.stack(self._pi)
+            self._obs, self._pi = [], []
+            closed = have[full_idx]                        # [Kf, B]
+            flat = closed.reshape(-1)
+            if flat.any():
+                out_obs.append(obs_f.reshape((-1,) + obs_f.shape[2:])[flat]
+                               .astype(np.float32))
+                out_pi.append(pi_f.reshape(-1, pi_f.shape[-1])[flat]
+                              .astype(np.float32))
+                out_val.append(values[full_idx].reshape(-1, V)[flat])
+            # Samples after the column's last done stay open. They are open
+            # iff NO done at-or-after their round in this window.
+            still = ~closed
+            if still.any():
+                kf, cols = np.nonzero(still)
+                n_obs = obs_f.reshape((-1,) + obs_f.shape[2:])[
+                    still.reshape(-1)]
+                n_pi = pi_f.reshape(-1, pi_f.shape[-1])[still.reshape(-1)]
+                # Fast-round samples were never materialized, so every row
+                # here is a real keepable sample.
+                if self._open is None:
+                    self._open = (n_obs, n_pi, cols)
+                else:
+                    o_obs, o_pi, o_col = self._open
+                    self._open = (np.concatenate([o_obs, n_obs]),
+                                  np.concatenate([o_pi, n_pi]),
+                                  np.concatenate([o_col, cols]))
+
+        if out_obs:
+            obs = np.concatenate(out_obs)
+            pi = np.concatenate(out_pi)
+            val = np.concatenate(out_val)
+            if self.symmetric and self.env.NUM_SYMMETRIES > 1 and len(obs):
+                obs, pi = _expand_symmetries(self.env, obs, pi)
+                val = np.repeat(val, self.env.NUM_SYMMETRIES, axis=0)
+            self.emitted += len(obs)
+            self.sink(obs.astype(np.float32), pi.astype(np.float32),
+                      val.astype(np.float32))
+
+    def finish(self) -> int:
+        """Flush the tail window; drop open-game samples (identical to the
+        one-shot finalize, which keeps only finished games). Returns total
+        samples emitted."""
+        self._flush()
+        self._open = None
+        return self.emitted
+
+
 def finalize_trajectories(records, symmetric: bool, env) -> Tuple[np.ndarray, ...]:
     """Dense-record form of :func:`finalize_sparse`: records is a stacked
     MoveRecord pytree [K, B, ...] (time-major) carrying obs/pi for every
@@ -192,16 +335,36 @@ class ReplayStore:
         np.savez_compressed(p, obs=obs, pi=pi, value=value)
         return p
 
+    def writer(self, iteration: int, obs_shape, action_size: int,
+               value_size: int) -> "IterationWriter":
+        """Streaming writer: appended sample batches land in part files
+        (``<base>.npz.partKKK``) so collection-side host memory stays
+        O(flush chunk); :meth:`load` reassembles base + parts. The shape
+        args size the empty base file when nothing is appended."""
+        return IterationWriter(self.path(iteration), obs_shape, action_size,
+                               value_size)
+
     def load(self, iteration: int) -> Optional[Tuple[np.ndarray, ...]]:
         p = self.path(iteration)
-        if not os.path.exists(p):
+        files = ([p] if os.path.exists(p) else []) + sorted(
+            glob(p + ".part*"))
+        if not files:
             return None
-        with np.load(p) as z:
-            return z["obs"], z["pi"], z["value"]
+        parts = []
+        for f in files:
+            with np.load(f) as z:
+                parts.append((z["obs"], z["pi"], z["value"]))
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([pt[i] for pt in parts])
+                     for i in range(3))
 
     def num_iterations(self) -> int:
-        return len(glob(os.path.join(
-            self.folder, "iteration-*" + self._suffix + ".npz")))
+        # Streaming part files are named <base>.npz.partKKK.npz (np.savez
+        # forces the trailing .npz) — exclude them from the iteration count.
+        return len([f for f in glob(os.path.join(
+            self.folder, "iteration-*" + self._suffix + ".npz"))
+            if ".part" not in os.path.basename(f)])
 
     def load_window(self, first_iter: int, last_iter: int):
         """Concatenate samples of iterations [first_iter, last_iter]."""
@@ -213,6 +376,47 @@ class ReplayStore:
         pi = np.concatenate([p[1] for p in parts])
         val = np.concatenate([p[2] for p in parts])
         return obs, pi, val
+
+
+class IterationWriter:
+    """Append-only sample sink for one iteration (see ReplayStore.writer).
+
+    The first appended batch becomes the base ``.npz`` (so ordinary runs
+    with one flush produce exactly the old single-file layout); subsequent
+    flushes become ``.npz.partKKK`` files. ``close()`` writes an empty base
+    when nothing was appended, keeping load()/num_iterations() invariants.
+    """
+
+    def __init__(self, base_path: str, obs_shape, action_size: int,
+                 value_size: int):
+        self.base = base_path
+        self.obs_shape = tuple(obs_shape)
+        self.action_size = int(action_size)
+        self.value_size = int(value_size)
+        self.count = 0
+        self.samples = 0
+        # Stale parts from a crashed prior attempt would silently join
+        # load()'s reassembly — clear them.
+        for f in glob(self.base + ".part*"):
+            os.remove(f)
+
+    def append(self, obs, pi, value) -> None:
+        if not len(obs):
+            return
+        path = (self.base if self.count == 0
+                else f"{self.base}.part{self.count:03d}")
+        np.savez_compressed(path, obs=obs, pi=pi, value=value)
+        self.count += 1
+        self.samples += len(obs)
+
+    def close(self) -> int:
+        if self.count == 0:  # keep the one-file-per-iteration invariant
+            np.savez_compressed(
+                self.base,
+                obs=np.zeros((0,) + self.obs_shape, np.float32),
+                pi=np.zeros((0, self.action_size), np.float32),
+                value=np.zeros((0, self.value_size), np.float32))
+        return self.samples
 
 
 def history_window(iteration: int, min_window: int, max_window: int,

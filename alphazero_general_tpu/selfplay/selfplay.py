@@ -61,6 +61,11 @@ class SelfPlayConfig(NamedTuple):
     # than this many nodes (reference: mctsResetThreshold,
     # SelfPlayAgent.pyx:172-174). 0 = only the capacity-overflow restart.
     reset_threshold: int = 0
+    # Which descent/backup implementation the searches use ('auto' picks the
+    # Pallas kernels on TPU; 'pallas_interpret' forces interpret-mode kernels
+    # — used by the multi-chip dryrun to exercise the kernel paths under a
+    # CPU mesh, see __graft_entry__.dryrun_multichip).
+    walk_impl: str = "auto"
     spec: T.SearchSpec = T.SearchSpec()
 
     @property
@@ -98,6 +103,7 @@ class SelfPlayConfig(NamedTuple):
             reuse_tree=bool(args.get("reuse_tree", False)),
             leaf_batch=int(args.get("leaf_batch", 1)),
             reset_threshold=int(args.get("mctsResetThreshold") or 0),
+            walk_impl=str(args.get("walk_impl", "auto")),
             spec=spec,
         )
 
@@ -190,12 +196,12 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
         )
         trees = S.search(env, trees, cfg.spec, warm_eval, cfg.sims_warmup,
                          r_search, fresh_tree=not cfg.reuse_tree,
-                         leaf_batch=cfg.leaf_batch)
+                         leaf_batch=cfg.leaf_batch, walk_impl=cfg.walk_impl)
         fast = jnp.bool_(False)
     elif sims_override is not None:
         trees = S.search(env, trees, cfg.spec, eval_fn, sims_override,
                          r_search, fresh_tree=not cfg.reuse_tree,
-                         leaf_batch=cfg.leaf_batch)
+                         leaf_batch=cfg.leaf_batch, walk_impl=cfg.walk_impl)
         fast = jnp.bool_(fast_flag)
     else:
         fast = jax.random.uniform(r_fast) < cfg.prob_fast
@@ -203,12 +209,14 @@ def move_step(env, cfg: SelfPlayConfig, eval_fn, carry: SelfPlayState,
         def do_fast(trees):
             return S.search(env, trees, cfg.spec, eval_fn, cfg.sims_fast,
                             r_search, fresh_tree=not cfg.reuse_tree,
-                            leaf_batch=cfg.leaf_batch)
+                            leaf_batch=cfg.leaf_batch,
+                            walk_impl=cfg.walk_impl)
 
         def do_full(trees):
             return S.search(env, trees, cfg.spec, eval_fn, cfg.sims_full,
                             r_search, fresh_tree=not cfg.reuse_tree,
-                            leaf_batch=cfg.leaf_batch)
+                            leaf_batch=cfg.leaf_batch,
+                            walk_impl=cfg.walk_impl)
 
         trees = jax.lax.cond(fast, do_fast, do_full, trees)
 

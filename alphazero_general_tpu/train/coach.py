@@ -31,7 +31,6 @@ from alphazero_general_tpu.selfplay.arena import (
 from alphazero_general_tpu.selfplay.replay import (
     ReplayStore,
     batch_iterator,
-    finalize_sparse,
     game_stats_arrays,
     history_window,
 )
@@ -345,13 +344,41 @@ class Coach:
         # non-fast rounds (finalize discards fast samples anyway).
         from collections import deque
 
+        from alphazero_general_tpu.parallel.mesh import local_rows
+        from alphazero_general_tpu.selfplay.replay import StreamingFinalizer
+        from alphazero_general_tpu.utils.misc import Bar
+
         PIPE = 8
-        meta = []          # per-round (player, action, win_state, done)
-        sample_rounds = [] # (round_idx, obs_f16, pi_f16) for non-fast rounds
-        fast_flags = []
+        stats_win = []   # host [B, V] per round (small — stats + finalize)
+        stats_done = []  # host [B] per round
+        writer = self.store.writer(
+            iteration, self.env.OBS_SHAPE, self.env.ACTION_SIZE,
+            int(self.args._num_players))
+        fin = StreamingFinalizer(
+            self.env, bool(self.args.symmetricSamples), writer.append)
+        raw = deque()  # device-side rounds awaiting host materialization
         pending = deque()
         start = time.time()
         games_done = 0
+        moves = 0
+
+        def _drain_round():
+            """Materialize the oldest round on host (its async copy has had
+            PIPE dispatches of head start) and feed the streaming finalize —
+            host memory stays O(flush window + open games), VERDICT r2 #4.
+            local_rows keeps only this host's shard of the global batch
+            (per-host data feed, parallel/mesh.py)."""
+            w, d, f, o, p = raw.popleft()
+            w = local_rows(w).astype(np.float32)
+            d = local_rows(d)
+            stats_win.append(w)
+            stats_done.append(d)
+            fin.add_round(
+                w, d, f,
+                obs=None if o is None else local_rows(o),
+                pi=None if p is None else local_rows(p))
+
+        bar = Bar(f"Self-play iter {iteration}", max=target)
         while games_done < target and not self.stop_train.is_set():
             while self.pause_train.is_set():
                 time.sleep(0.1)
@@ -363,51 +390,38 @@ class Coach:
                     self._np_rng.random() < cfg.prob_fast
                 ) else "full"
             carry, rec = fns[kind](variables, carry, self._next_rng())
-            k = len(fast_flags)
-            fast_flags.append(kind == "fast")
-            m = (rec.player, rec.action, rec.win_state, rec.done)
-            meta.append(m)
-            _copy_to_host_async(m)
-            if rec.obs is not None:
-                sample_rounds.append((k, rec.obs, rec.pi))
-                _copy_to_host_async((rec.obs, rec.pi))
+            moves += 1
+            m = (rec.win_state, rec.done, kind == "fast", rec.obs, rec.pi)
+            _copy_to_host_async((rec.win_state, rec.done, rec.obs, rec.pi))
+            raw.append(m)
             pending.append(carry.games_played)
+            # Drain PIPE moves behind the dispatch frontier so the device
+            # (and the tunnel's ~20 ms dispatch latency) stays busy.
             while len(pending) > PIPE:
                 games_done = int(pending.popleft())
                 self.games_played_iter = games_done
+                _drain_round()
+                bar.suffix = f"moves {moves}"
+                bar.goto(min(games_done, target))
         games_done = int(carry.games_played)
         self.games_played_iter = games_done
+        bar.goto(min(games_done, target))
+        bar.finish()
 
         elapsed = time.time() - start
         self.sample_time = elapsed / max(games_done, 1)
 
         self.state = TrainState.SAVE_SAMPLES
-        # local_rows = this host's shard of the global game batch — under
-        # multi-process each host keeps exactly its own games' samples
-        # (parallel/mesh.py per-host data feed; no cross-host duplicates).
-        from alphazero_general_tpu.parallel.mesh import local_rows
-
-        win = np.stack([local_rows(m[2]) for m in meta], axis=0)  # [K, B, V]
-        done = np.stack([local_rows(m[3]) for m in meta], axis=0)  # [K, B]
-        fast = np.asarray(fast_flags)
-        if sample_rounds:
-            full_idx = np.array([s[0] for s in sample_rounds])
-            obs_f = np.stack([local_rows(s[1]) for s in sample_rounds])
-            pi_f = np.stack([local_rows(s[2]) for s in sample_rounds])
-        else:
-            B_, A_ = done.shape[1], self.env.ACTION_SIZE
-            full_idx = np.zeros((0,), np.int64)
-            obs_f = np.zeros((0, B_) + tuple(self.env.OBS_SHAPE), np.float16)
-            pi_f = np.zeros((0, B_, A_), np.float16)
-        obs, pi, value = finalize_sparse(
-            win, done, fast, obs_f, pi_f, full_idx,
-            symmetric=bool(self.args.symmetricSamples), env=self.env,
-        )
-        print(f"Saving {len(obs)} samples ({games_done} games, "
+        while raw:
+            _drain_round()
+        fin.finish()
+        n_samples = writer.close()
+        print(f"Saving {n_samples} samples ({games_done} games, "
               f"{elapsed:.1f}s, {self.sample_time * 1000:.1f} ms/game)")
-        self.store.save(iteration, obs, pi, value)
 
         self.state = TrainState.PROCESS_RESULTS
+        win = np.stack(stats_win, axis=0)   # [K, B, V]
+        done = np.stack(stats_done, axis=0)  # [K, B]
         wins, draws, avg_len = game_stats_arrays(win, done)
         total = max(int(wins.sum()) + draws, 1)
         for i, w in enumerate(wins):
@@ -467,9 +481,18 @@ class Coach:
             while True:
                 yield from batch_iterator(data, batch_size, self._np_rng)
 
+        from alphazero_general_tpu.utils.misc import Bar
+
+        bar = Bar(f"Train iter {iteration}", max=train_steps)
+
+        def _progress(step, total, lpi, lv):
+            bar.suffix = f"lpi {lpi:.3f} lv {lv:.3f}"
+            bar.goto(step)
+
         self.loss_pi, self.loss_v = self.train_net.train(
-            batches(), train_steps, iteration=iteration
+            batches(), train_steps, iteration=iteration, callback=_progress
         )
+        bar.finish()
         self.writer.add_scalar("loss/policy", self.loss_pi, iteration)
         self.writer.add_scalar("loss/value", self.loss_v, iteration)
         self.writer.add_scalar(

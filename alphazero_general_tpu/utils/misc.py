@@ -76,3 +76,79 @@ class AverageMeter:
         self.sum += val * n
         self.count += n
         self.avg = self.sum / max(self.count, 1)
+
+
+class Bar:
+    """Terminal progress bar with rate + ETA (reference surface: the vendored
+    pytorch_classification progress Bar, progress/bar.py:22-42 —
+    ``Bar(msg, max=N)`` / ``.suffix`` / ``.next()`` / ``.finish()``).
+
+    Renders in place via carriage return on a TTY; on non-TTY streams (logs,
+    CI) it stays silent except for the final newline summary, so archived
+    consoles don't fill with control characters. ``next(k)`` advances by k.
+    """
+
+    WIDTH = 24
+
+    def __init__(self, message: str = "", max: int = 100):  # noqa: A002
+        import sys
+        import time
+
+        self.message = message
+        self.max = int(max) or 1
+        self.index = 0
+        self.suffix = ""
+        self._start = time.perf_counter()
+        self._stream = sys.stderr
+        self._tty = hasattr(self._stream, "isatty") and self._stream.isatty()
+        self._last_draw = 0.0
+
+    def _eta(self) -> str:
+        import time
+
+        elapsed = time.perf_counter() - self._start
+        if self.index <= 0:
+            return "--:--"
+        remain = elapsed / self.index * (self.max - self.index)
+        m, s = divmod(int(remain), 60)
+        h, m = divmod(m, 60)
+        return f"{h:d}:{m:02d}:{s:02d}" if h else f"{m:02d}:{s:02d}"
+
+    def _draw(self, force: bool = False) -> None:
+        import time
+
+        if not self._tty:
+            return
+        now = time.perf_counter()
+        if not force and now - self._last_draw < 0.1:  # throttle redraws
+            return
+        self._last_draw = now
+        frac = min(self.index / self.max, 1.0)
+        fill = int(self.WIDTH * frac)
+        bar = "#" * fill + "-" * (self.WIDTH - fill)
+        line = (f"\r{self.message} |{bar}| {self.index}/{self.max} "
+                f"eta {self._eta()} {self.suffix}")
+        self._stream.write(line[:119] + "\x1b[K")
+        self._stream.flush()
+
+    def next(self, n: int = 1) -> None:
+        self.index += n
+        self._draw()
+
+    def goto(self, index: int) -> None:
+        self.index = int(index)
+        self._draw()
+
+    def finish(self) -> None:
+        import time
+
+        self._draw(force=True)
+        if self._tty:
+            self._stream.write("\n")
+            self._stream.flush()
+        else:  # one summary line for non-TTY consoles
+            elapsed = time.perf_counter() - self._start
+            self._stream.write(
+                f"{self.message} {self.index}/{self.max} in {elapsed:.1f}s"
+                f" {self.suffix}\n")
+            self._stream.flush()

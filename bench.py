@@ -130,17 +130,24 @@ def main() -> None:
     tafl = _tafl_datapoint()
     if tafl is not None:
         result["hnefatafl_sims_per_s"] = tafl
+    chess = _chess_datapoint()
+    if chess is not None:
+        result["chess_sims_per_s"] = chess
+    train = _train_datapoint(env, net)
+    if train is not None:
+        result.update(train)
+    arena = _arena_datapoint(env, net)
+    if arena is not None:
+        result.update(arena)
     print(json.dumps(result))
 
 
-def _tafl_datapoint():
-    """Large-action-space datapoint (A=2420, XLA walk + mirror rows).
+def _raw_search_datapoint(env_name: str, B: int, SIMS: int):
+    """Raw-search sims/s on one env (rank-walk Pallas kernels via 'auto').
 
     Guarded: the tunnel intermittently refuses larger programs
     (ROADMAP infrastructure notes); the headline metric must never fail
-    because of the extra."""
-    if os.environ.get("BENCH_SKIP_TAFL"):
-        return None
+    because of the extras."""
     try:
         import jax
         import jax.numpy as jnp
@@ -151,8 +158,7 @@ def _tafl_datapoint():
         )
         from alphazero_general_tpu.mcts.tree import SearchSpec
 
-        env = get_env("hnefatafl")
-        B, SIMS = 512, 100
+        env = get_env(env_name)
         spec = SearchSpec(num_players=2, has_draw=True)
         eval_fn = uniform_eval_fn(env.ACTION_SIZE, 3)
         states = jax.vmap(lambda _: env.init())(jnp.arange(B))
@@ -166,6 +172,129 @@ def _tafl_datapoint():
         t0 = time.time()
         jax.block_until_ready(run(states, jax.random.PRNGKey(1)))
         return round(B * SIMS / (time.time() - t0), 1)
+    except Exception:
+        return None
+
+
+def _tafl_datapoint():
+    """Large-action-space datapoint (hnefatafl, A=2420)."""
+    if os.environ.get("BENCH_SKIP_TAFL"):
+        return None
+    B = int(os.environ.get("BENCH_TAFL_GAMES", 1024))
+    return _raw_search_datapoint("hnefatafl", B, 100)
+
+
+def _chess_datapoint():
+    """Largest action space (chess, A=4672 — the reference's chess is a dead
+    stub, chess.py:82-92; this datapoint has no reference counterpart)."""
+    if os.environ.get("BENCH_SKIP_CHESS"):
+        return None
+    B = int(os.environ.get("BENCH_CHESS_GAMES", 256))
+    return _raw_search_datapoint("chess", B, 100)
+
+
+def _train_datapoint(env, net):
+    """Train-step throughput on the production connect4 model: examples/s
+    and model FLOPs utilization (FLOPs from XLA's own cost analysis of the
+    compiled step). Reference analogue: the torch DataLoader+SGD loop,
+    NNetWrapper.py:123-205."""
+    if os.environ.get("BENCH_SKIP_TRAIN"):
+        return None
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        B = int(os.environ.get("BENCH_TRAIN_BATCH", 1024))
+        obs = jnp.asarray(
+            np.random.default_rng(0).random(
+                (B,) + tuple(env.OBS_SHAPE), np.float32))
+        pi = jnp.full((B, env.ACTION_SIZE), 1.0 / env.ACTION_SIZE)
+        val = jnp.full((B, 3), 1.0 / 3)
+        state = net.state
+
+        step = net._jit_train_step
+        lowered = step.lower(state, (obs, pi, val), 1e-3)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = (cost or {}).get("flops", 0.0)
+        state2, _ = compiled(state, (obs, pi, val), 1e-3)
+        jax.block_until_ready(state2.params)
+        steps = 20
+        t0 = time.time()
+        for _ in range(steps):
+            state2, _ = compiled(state2, (obs, pi, val), 1e-3)
+        jax.block_until_ready(state2.params)
+        dt = time.time() - t0
+        out = {
+            "train_examples_per_s": round(steps * B / dt, 1),
+            "train_batch": B,
+        }
+        if flops:
+            # bf16 peak of one v5e-class chip; report the ratio as-is so the
+            # hardware assumption is explicit in the artifact.
+            PEAK = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+            out["train_mfu_pct_at_197tflops"] = round(
+                100.0 * flops * steps / dt / PEAK, 2)
+        return out
+    except Exception:
+        return None
+
+
+def _arena_datapoint(env, net):
+    """Arena games/s + the owner-routing speedup measured as wallclock A/B
+    (route_owner True vs the every-model-evaluates-all fallback) — the
+    reference flags batched arena as ~10x slower than self-play
+    (Arena.pyx:209)."""
+    if os.environ.get("BENCH_SKIP_ARENA"):
+        return None
+    try:
+        import jax
+
+        from alphazero_general_tpu.selfplay.arena import (
+            ArenaConfig, play_games_multi,
+        )
+
+        import jax.numpy as jnp
+
+        B = int(os.environ.get("BENCH_ARENA_GAMES", 256))
+        SIMS = 100
+        model = net.model
+        variables = net.state.variables
+        # A genuinely DIFFERENT second model: with identical variables XLA
+        # CSEs the unrouted path's two forwards into one, hiding the very
+        # cost owner routing removes (measured: 0.99x "speedup").
+        variables2 = jax.tree_util.tree_map(
+            lambda x: x * 1.001 if jnp.issubdtype(x.dtype, jnp.floating)
+            else x, variables)
+
+        def apply_fn(v, obs):
+            return model.apply(v, obs, train=False)
+
+        out = {}
+        for routed in (True, False):
+            cfg = ArenaConfig(
+                sims=SIMS, route_owner=routed,
+                spec=ArenaConfig().spec._replace(
+                    num_players=env.NUM_PLAYERS, has_draw=env.HAS_DRAW))
+
+            fn = jax.jit(lambda rng, cfg=cfg: play_games_multi(
+                env, cfg, [apply_fn, apply_fn], [variables, variables2],
+                B, rng))
+            jax.block_until_ready(fn(jax.random.PRNGKey(0)).model_wins)
+            t0 = time.time()
+            jax.block_until_ready(fn(jax.random.PRNGKey(1)).model_wins)
+            dt = time.time() - t0
+            key = ("arena_games_per_s" if routed
+                   else "arena_games_per_s_unrouted")
+            out[key] = round(B / dt, 2)
+        if out.get("arena_games_per_s_unrouted"):
+            out["arena_owner_routing_speedup"] = round(
+                out["arena_games_per_s"]
+                / out["arena_games_per_s_unrouted"], 2)
+        return out
     except Exception:
         return None
 

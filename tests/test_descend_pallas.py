@@ -90,3 +90,66 @@ def test_walk_outputs_match_directly():
     for a, b, name in zip(xla, pal, ["node", "action", "child", "depth",
                                      "skip", "p_sel"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_big_action_space_hybrid_treet():
+    """Rank-walk kernel on a big-row env (hnefatafl A=2420): the hybrid
+    batch-major TreeT path (tree_t big_rows) must match the XLA walk
+    byte-for-byte, including the expanded bitmask reconstructed from the
+    descending-(prior, -index) expansion invariant."""
+    from alphazero_general_tpu.envs import get_env
+
+    env = get_env("hnefatafl")
+    B, sims = 128, 16
+    rng = jax.random.PRNGKey(0)
+    states = jax.vmap(lambda i: env.init())(jnp.arange(B))
+    eval_fn = S.uniform_eval_fn(env.ACTION_SIZE, 3)
+
+    def run(impl):
+        trees = S.init_batched_trees(env, states, sims + 2, 3)
+        return S.search(env, trees, SPEC, eval_fn, sims, rng, walk_impl=impl)
+
+    t_x = run("xla")
+    t_p = run("pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(t_x.n), np.asarray(t_p.n))
+    np.testing.assert_array_equal(np.asarray(t_x.parent)[:, :-1],
+                                  np.asarray(t_p.parent)[:, :-1])
+    np.testing.assert_array_equal(np.asarray(t_x.parent_action)[:, :-1],
+                                  np.asarray(t_p.parent_action)[:, :-1])
+    np.testing.assert_allclose(np.asarray(t_x.q), np.asarray(t_p.q),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(t_x.expanded)[:, :-1],
+                                  np.asarray(t_p.expanded)[:, :-1])
+
+
+def test_rank_pointer_tracks_mask_truth():
+    """After any search, each reachable node's (nba, nbp) must equal the
+    argmax/max of its stored prior row over valid & unexpanded actions —
+    the rank-walk pointer invariant the kernel relies on."""
+    env = Connect4
+    B = 128
+    states = batch_states(env, B, rng_seed=5)
+    trees = S.search(env, S.init_batched_trees(env, states, 34, 3), SPEC,
+                     pseudo_net, 30, jax.random.PRNGKey(2), walk_impl="xla")
+    A = env.ACTION_SIZE
+    prior = np.asarray(trees.prior).reshape(B, -1, A)
+    expanded = np.asarray(trees.expanded)
+    nba = np.asarray(trees.nba)
+    nbp = np.asarray(trees.nbp)
+    n = np.asarray(trees.n)
+    W32 = (A + 31) // 32
+    for b in range(0, B, 17):
+        for m in range(prior.shape[1] - 1):
+            if n[b, m] == 0:
+                continue  # unallocated or pending row
+            row = prior[b, m]
+            bits = np.unpackbits(
+                expanded[b].reshape(-1, W32)[m].view(np.uint8),
+                bitorder="little")[:A].astype(bool)
+            mask = (row >= 0) & ~bits
+            if not mask.any():
+                assert nbp[b, m] < 0, (b, m)
+            else:
+                best = np.flatnonzero(mask & (row == row[mask].max()))[0]
+                assert nba[b, m] == best, (b, m, nba[b, m], best)
+                np.testing.assert_allclose(nbp[b, m], row[best])

@@ -251,3 +251,58 @@ class TestChunkedSymmetryExpansion:
         np.testing.assert_array_equal(got_o, expect_o)
         np.testing.assert_array_equal(got_p, expect_p)
         assert len(got_o) == n * Connect4.NUM_SYMMETRIES
+
+
+def test_streaming_finalizer_matches_one_shot():
+    """StreamingFinalizer (bounded-memory, windowed) must emit exactly the
+    sample set of the one-shot finalize_sparse — same rows, any order."""
+    import numpy as np
+
+    from alphazero_general_tpu.envs.connect4 import Connect4
+    from alphazero_general_tpu.selfplay.replay import (
+        StreamingFinalizer, finalize_sparse,
+    )
+
+    rng = np.random.default_rng(0)
+    K, B, V = 150, 6, 3  # > 2 flush windows of 64
+    env = Connect4
+    A = env.ACTION_SIZE
+    obs_shape = tuple(env.OBS_SHAPE)
+
+    done = rng.random((K, B)) < 0.12
+    win = np.zeros((K, B, V), np.float32)
+    win[done] = np.eye(V, dtype=np.float32)[
+        rng.integers(0, V, int(done.sum()))]
+    fast = rng.random(K) < 0.5
+    full_idx = np.flatnonzero(~fast)
+    obs_f = rng.random((len(full_idx), B) + obs_shape).astype(np.float16)
+    pi_f = rng.random((len(full_idx), B, A)).astype(np.float16)
+
+    ref = finalize_sparse(win, done, fast, obs_f, pi_f, full_idx,
+                          symmetric=True, env=env)
+
+    got = []
+    fin = StreamingFinalizer(env, True, lambda o, p, v:
+                             got.append((o, p, v)))
+    fi = {int(k): j for j, k in enumerate(full_idx)}
+    for t in range(K):
+        if t in fi:
+            fin.add_round(win[t], done[t], bool(fast[t]),
+                          obs=obs_f[fi[t]], pi=pi_f[fi[t]])
+        else:
+            fin.add_round(win[t], done[t], bool(fast[t]))
+    n = fin.finish()
+    obs = np.concatenate([g[0] for g in got])
+    pi = np.concatenate([g[1] for g in got])
+    val = np.concatenate([g[2] for g in got])
+    assert n == len(ref[0]) == len(obs)
+
+    def key(o, p, v):
+        rows = np.concatenate(
+            [o.reshape(len(o), -1), p, v], axis=1).astype(np.float64)
+        return np.lexsort(rows.T[::-1])
+
+    ref_sorted = [x[key(*ref)] for x in ref]
+    got_sorted = [x[key(obs, pi, val)] for x in (obs, pi, val)]
+    for a, b in zip(ref_sorted, got_sorted):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
