@@ -93,14 +93,24 @@ def _bucket(m: int) -> int:
 
 
 def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray):
-    """Symmetry expansion in fixed-shape device chunks (host-accumulated)."""
+    """Symmetry expansion in fixed-shape chunks, on the HOST CPU backend.
+
+    Expansion is pure gather work; running it on the accelerator means
+    shipping every chunk's obs/pi down and S copies back up — over this
+    environment's TPU tunnel that transfer dominated the whole self-play
+    collection loop (a tafl chunk is ~80 MB down / ~630 MB back). The CPU
+    backend runs the same jitted program against host memory."""
     # Keyed on the bound symmetry function, not just the env name: a rebuilt
     # env with the same NAME but a different closure must not silently reuse
     # the first instance's jitted program. The env is kept in the value to
     # hold a strong reference (id() reuse after GC).
     key = (env.NAME, id(env))
+    cpu0 = jax.local_devices(backend="cpu")[0]
     if key not in _SYM_JITS:
-        _SYM_JITS[key] = (env, jax.jit(jax.vmap(env.symmetries)))
+        def sym_fn(o, p):
+            return jax.vmap(env.symmetries)(o, p)
+
+        _SYM_JITS[key] = (env, jax.jit(sym_fn, device=cpu0))
     sym = _SYM_JITS[key][1]
     S = env.NUM_SYMMETRIES
     n = len(obs)
