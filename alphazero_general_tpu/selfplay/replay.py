@@ -107,10 +107,14 @@ def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray):
     key = (env.NAME, id(env))
     cpu0 = jax.local_devices(backend="cpu")[0]
     if key not in _SYM_JITS:
-        def sym_fn(o, p):
-            return jax.vmap(env.symmetries)(o, p)
+        jitted = jax.jit(lambda o, p: jax.vmap(env.symmetries)(o, p))
 
-        _SYM_JITS[key] = (env, jax.jit(sym_fn, device=cpu0))
+        def sym_fn(o, p, _j=jitted):
+            # Committed CPU inputs pin the whole program to the host backend
+            # (the jit(device=...) param is deprecated).
+            return _j(jax.device_put(o, cpu0), jax.device_put(p, cpu0))
+
+        _SYM_JITS[key] = (env, sym_fn)
     sym = _SYM_JITS[key][1]
     S = env.NUM_SYMMETRIES
     n = len(obs)
@@ -172,7 +176,11 @@ class StreamingFinalizer:
         self._fast = []   # per-round scalar bool
         self._obs = []    # (local_round_idx, obs [B, ...]) non-fast only
         self._pi = []
-        self._open = None  # carried (obs [P,...], pi [P,A], col [P]) or None
+        # Carried open-game samples as a LIST of (obs, pi, col) blocks (one
+        # per flush window). Blocks are only copied when one of their
+        # columns closes; a single concatenated carry would re-copy every
+        # open sample each flush — quadratic over long-game warmups.
+        self._open = []
         self.emitted = 0
 
     def add_round(self, win, done, fast: bool, obs=None, pi=None) -> None:
@@ -212,20 +220,25 @@ class StreamingFinalizer:
         out_obs, out_pi, out_val = [], [], []
 
         # Carried samples from previous windows close at their column's
-        # FIRST episode end in this window.
-        if self._open is not None:
-            o_obs, o_pi, o_col = self._open
-            any_end = done.any(axis=0)            # [B]
-            first_t = done.argmax(axis=0)         # first done time per col
+        # FIRST episode end in this window. Blocks with no closing column
+        # pass through untouched (no copy).
+        any_end = done.any(axis=0)            # [B]
+        first_t = done.argmax(axis=0)         # first done time per col
+        kept_blocks = []
+        for o_obs, o_pi, o_col in self._open:
             closes = any_end[o_col]
             if closes.any():
                 cols = o_col[closes]
                 out_obs.append(o_obs[closes])
                 out_pi.append(o_pi[closes])
                 out_val.append(win[first_t[cols], cols].astype(np.float32))
-            keep = ~closes
-            self._open = ((o_obs[keep], o_pi[keep], o_col[keep])
-                          if keep.any() else None)
+                keep = ~closes
+                if keep.any():
+                    kept_blocks.append((o_obs[keep], o_pi[keep],
+                                        o_col[keep]))
+            else:
+                kept_blocks.append((o_obs, o_pi, o_col))
+        self._open = kept_blocks
 
         # Window samples: closed ones emit; open ones join the carry.
         if self._obs:
@@ -251,13 +264,7 @@ class StreamingFinalizer:
                 n_pi = pi_f.reshape(-1, pi_f.shape[-1])[still.reshape(-1)]
                 # Fast-round samples were never materialized, so every row
                 # here is a real keepable sample.
-                if self._open is None:
-                    self._open = (n_obs, n_pi, cols)
-                else:
-                    o_obs, o_pi, o_col = self._open
-                    self._open = (np.concatenate([o_obs, n_obs]),
-                                  np.concatenate([o_pi, n_pi]),
-                                  np.concatenate([o_col, cols]))
+                self._open.append((n_obs, n_pi, cols))
 
         if out_obs:
             obs = np.concatenate(out_obs)
@@ -275,7 +282,7 @@ class StreamingFinalizer:
         one-shot finalize, which keeps only finished games). Returns total
         samples emitted."""
         self._flush()
-        self._open = None
+        self._open = []
         return self.emitted
 
 
