@@ -35,6 +35,10 @@ from flax import struct
 import alphazero_general_tpu.mcts.search as S
 import alphazero_general_tpu.mcts.tree as T
 
+#: Action-space size at which move records ship the policy as exact top-k
+#: values+ids instead of the dense [B, A] row (see MoveRecord.pi).
+_SPARSE_PI_MIN_ACTIONS = 512
+
 
 class SelfPlayConfig(NamedTuple):
     """Static self-play hyperparameters (hashable for jit)."""
@@ -128,12 +132,16 @@ class MoveRecord:
     """Per-move trajectory record emitted by each move step [B, ...]."""
 
     obs: jnp.ndarray  # f32[B, C, H, W] observation before the move
-    pi: jnp.ndarray  # f32[B, A] full-temperature policy
+    pi: jnp.ndarray  # f32[B, A] full-temperature policy — OR, for large
+    # action spaces, the top-k VALUES [B, K] with ``pi_idx`` set (the
+    # visit-count policy has at most sims+1 nonzeros, so k = sims+1 is
+    # EXACT, not an approximation; the host densifies before finalize).
     player: jnp.ndarray  # i32[B] player who moved
     action: jnp.ndarray  # i32[B]
     win_state: jnp.ndarray  # f32[B, V] result after the move (0s if running)
     done: jnp.ndarray  # bool[B] game ended on this move
     fast: jnp.ndarray  # bool[] batch-global fast-sim flag (sample discarded)
+    pi_idx: jnp.ndarray = None  # i32[B, K] top-k action ids (sparse mode)
 
 
 def init_selfplay(env, batch_size: int, start_temp: float = 1.0,
@@ -318,6 +326,18 @@ def make_move_fns(env, cfg: SelfPlayConfig, apply_fn, mesh=None):
                                    fast_flag=fast_flag)
             if fast_flag:
                 rec = rec.replace(obs=None, pi=None)
+            elif env.ACTION_SIZE >= _SPARSE_PI_MIN_ACTIONS:
+                # Exact sparse π: ≤ sims+1 root children can have visits, so
+                # the top-(sims+1) values+ids carry the full policy. Cuts
+                # the per-round device→host record transfer ~(A / 2k)x —
+                # at tafl/chess scale that transfer (not compute) bounds
+                # the collection loop over this environment's TPU tunnel.
+                k = min(env.ACTION_SIZE,
+                        (cfg.sims_warmup if warmup else sims) + 1)
+                vals, idx = jax.lax.top_k(rec.pi, k)
+                rec = rec.replace(obs=rec.obs.astype(jnp.float16),
+                                  pi=vals.astype(jnp.float16),
+                                  pi_idx=idx.astype(jnp.int32))
             else:
                 rec = rec.replace(obs=rec.obs.astype(jnp.float16),
                                   pi=rec.pi.astype(jnp.float16))

@@ -306,3 +306,42 @@ def test_streaming_finalizer_matches_one_shot():
     got_sorted = [x[key(obs, pi, val)] for x in (obs, pi, val)]
     for a, b in zip(ref_sorted, got_sorted):
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_sparse_pi_records_exact():
+    """Large-A move records ship π as top-(sims+1) values+ids
+    (MoveRecord.pi_idx); densifying must reproduce the dense policy exactly
+    (the visit-count policy has at most sims+1 nonzeros)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alphazero_general_tpu.envs import get_env
+    from alphazero_general_tpu.selfplay.selfplay import (
+        SelfPlayConfig, init_selfplay, make_move_fns, move_step,
+    )
+    import alphazero_general_tpu.mcts.tree as T
+
+    env = get_env("brandubh")  # A = 588 >= sparse threshold
+    assert env.ACTION_SIZE >= 512
+    spec = T.SearchSpec(num_players=2, has_draw=True)
+    cfg = SelfPlayConfig(sims_full=8, sims_fast=4, sims_warmup=4,
+                        prob_fast=0.5, spec=spec)
+    fns = make_move_fns(env, cfg, None)
+    carry = init_selfplay(env, 4, cfg.start_temp)
+    rng = jax.random.PRNGKey(3)
+    _, rec = fns["warmup"](None, carry, rng)
+    assert rec.pi_idx is not None
+    assert rec.pi.shape[-1] == cfg.sims_warmup + 1
+
+    # Dense reference: the same move_step without record slimming.
+    def dense_run(carry, rng):
+        return move_step(env, cfg, None, carry, rng, warmup=True)
+
+    _, ref = jax.jit(dense_run)(carry, rng)
+    vals = np.asarray(rec.pi, np.float32)
+    idx = np.asarray(rec.pi_idx, np.int64)
+    dense = np.zeros((vals.shape[0], env.ACTION_SIZE), np.float32)
+    np.put_along_axis(dense, idx, vals, axis=1)
+    ref_f16 = np.asarray(ref.pi).astype(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(dense.astype(np.float16), ref_f16.astype(np.float16))
