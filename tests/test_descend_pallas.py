@@ -153,3 +153,27 @@ def test_rank_pointer_tracks_mask_truth():
                 best = np.flatnonzero(mask & (row == row[mask].max()))[0]
                 assert nba[b, m] == best, (b, m, nba[b, m], best)
                 np.testing.assert_allclose(nbp[b, m], row[best])
+
+
+def test_walk_matches_after_reroot():
+    """Rank-walk pointers must survive reroot compaction: grow trees, reroot
+    every game at its best action, then the kernel walk on the rerooted
+    trees must equal the XLA walk (which recomputes from the expanded
+    bitmask — carried independently of the pointers)."""
+    env = Connect4
+    B = 128
+    states = batch_states(env, B, rng_seed=9)
+    trees = S.search(env, S.init_batched_trees(env, states, 66, 3), SPEC,
+                     pseudo_net, 30, jax.random.PRNGKey(4), walk_impl="xla")
+    actions = jax.vmap(T.best_action)(trees)
+    rerooted = jax.vmap(lambda t, a: T.reroot(env, t, a))(trees, actions)
+    # Continue searching the rerooted trees (general, non-fresh path).
+    cont = S.search(env, rerooted, SPEC, pseudo_net, 10,
+                    jax.random.PRNGKey(5), walk_impl="xla",
+                    fresh_tree=False)
+    xla = jax.vmap(lambda t: T.descend(t, SPEC))(cont)
+    pal = S._batched_walk(cont, SPEC, "pallas_interpret")
+    for a, b, name in zip(xla, pal, ["node", "action", "child", "depth",
+                                     "skip", "p_sel"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
