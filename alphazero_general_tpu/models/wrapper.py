@@ -206,40 +206,68 @@ class NNetWrapper:
 
         ``batches`` yields (obs, target_pi, target_v) numpy/JAX arrays.
         """
+        from collections import deque
+
         lr = self.current_lr(iteration)
         pi_sum = v_sum = 0.0
         count = 0
         step = 0
+        # Pipelined loop: loss scalars are read PIPE steps behind the
+        # dispatch frontier so host→device batch transfers overlap prior
+        # steps' execution instead of serializing transfer→step→sync each
+        # iteration (measured 0.83 s/step at tafl batch scale over the TPU
+        # tunnel with the synchronous loop).
+        PIPE = 16
+        pend: deque = deque()
+
+        def _drain_one():
+            nonlocal pi_sum, v_sum, count
+            s, a, b = pend.popleft()
+            pi_sum += float(a)
+            v_sum += float(b)
+            count += 1
+            if callback is not None:
+                callback(s, train_steps, pi_sum / count, v_sum / count)
+
+        def _to_device(batch):
+            if self.mesh is not None:
+                from alphazero_general_tpu.parallel.mesh import (
+                    host_local_to_global,
+                )
+
+                n_dev = self.mesh.devices.size
+                rows = (len(batch[0]) // n_dev) * n_dev
+                if rows == 0:
+                    return None  # batch too small to shard evenly
+                if rows != len(batch[0]):
+                    batch = tuple(x[:rows] for x in batch)
+                return host_local_to_global(
+                    tuple(jnp.asarray(x, jnp.float32)
+                          for x in batch), self.mesh)
+            # f32 regardless of the store's (f16) sample dtype —
+            # CE/log math must not run in half precision.
+            return tuple(jnp.asarray(x, jnp.float32) for x in batch)
+
         while step < train_steps:
+            progressed = False
             for batch in batches:
                 if step >= train_steps:
                     break
-                if self.mesh is not None:
-                    from alphazero_general_tpu.parallel.mesh import (
-                        host_local_to_global,
-                    )
-
-                    n_dev = self.mesh.devices.size
-                    rows = (len(batch[0]) // n_dev) * n_dev
-                    if rows == 0:
-                        continue  # batch too small to shard evenly
-                    if rows != len(batch[0]):
-                        batch = tuple(x[:rows] for x in batch)
-                    batch = host_local_to_global(
-                        tuple(jnp.asarray(x) for x in batch), self.mesh)
-                else:
-                    batch = tuple(jnp.asarray(x) for x in batch)
+                batch = _to_device(batch)
+                if batch is None:
+                    continue
                 self.state, (l_pi, l_v) = self._jit_train_step(
                     self.state, batch, lr
                 )
                 step += 1
-                pi_sum += float(l_pi)
-                v_sum += float(l_v)
-                count += 1
-                if callback is not None:
-                    callback(step, train_steps, pi_sum / count, v_sum / count)
-            if count == 0:
+                progressed = True
+                pend.append((step, l_pi, l_v))
+                while len(pend) > PIPE:
+                    _drain_one()
+            if not progressed:
                 break  # empty iterable — avoid an infinite loop
+        while pend:
+            _drain_one()
         self.l_pi = pi_sum / max(count, 1)
         self.l_v = v_sum / max(count, 1)
         return self.l_pi, self.l_v

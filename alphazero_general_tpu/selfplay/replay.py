@@ -92,7 +92,8 @@ def _bucket(m: int) -> int:
     return min(b, _SYM_CHUNK)
 
 
-def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray):
+def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray,
+                       out_dtype=np.float32):
     """Symmetry expansion in fixed-shape chunks, on the HOST CPU backend.
 
     Expansion is pure gather work; running it on the accelerator means
@@ -118,8 +119,8 @@ def _expand_symmetries(env, obs: np.ndarray, pi: np.ndarray):
     sym = _SYM_JITS[key][1]
     S = env.NUM_SYMMETRIES
     n = len(obs)
-    out_o = np.empty((n * S,) + obs.shape[1:], np.float32)
-    out_p = np.empty((n * S, pi.shape[1]), np.float32)
+    out_o = np.empty((n * S,) + obs.shape[1:], out_dtype)
+    out_p = np.empty((n * S, pi.shape[1]), out_dtype)
     for i in range(0, n, _SYM_CHUNK):
         o, p = obs[i:i + _SYM_CHUNK], pi[i:i + _SYM_CHUNK]
         m = len(o)
@@ -167,9 +168,17 @@ class StreamingFinalizer:
     #: episode ends inside the window and carries the rest forward.
     WINDOW = 64
 
-    def __init__(self, env, symmetric: bool, sink):
+    def __init__(self, env, symmetric: bool, sink,
+                 expand_at_collect: bool = True):
+        """``expand_at_collect=False`` emits RAW samples and leaves the
+        symmetry expansion to training time (ReplayStore.load_window with
+        ``symmetric_env``): 8x less host compression/IO inline with the
+        collection loop, 8x smaller sample files, identical training
+        distribution (the expansion is a deterministic map applied after
+        the window subsample instead of before storage)."""
         self.env = env
         self.symmetric = symmetric
+        self.expand_at_collect = expand_at_collect
         self.sink = sink
         self._win = []    # per-round [B, V]
         self._done = []   # per-round [B] bool
@@ -270,7 +279,8 @@ class StreamingFinalizer:
             obs = np.concatenate(out_obs)
             pi = np.concatenate(out_pi)
             val = np.concatenate(out_val)
-            if self.symmetric and self.env.NUM_SYMMETRIES > 1 and len(obs):
+            if (self.symmetric and self.expand_at_collect
+                    and self.env.NUM_SYMMETRIES > 1 and len(obs)):
                 obs, pi = _expand_symmetries(self.env, obs, pi)
                 val = np.repeat(val, self.env.NUM_SYMMETRIES, axis=0)
             self.emitted += len(obs)
@@ -353,13 +363,36 @@ class ReplayStore:
         return p
 
     def writer(self, iteration: int, obs_shape, action_size: int,
-               value_size: int) -> "IterationWriter":
+               value_size: int, raw: bool = False) -> "IterationWriter":
         """Streaming writer: appended sample batches land in part files
         (``<base>.npz.partKKK``) so collection-side host memory stays
         O(flush chunk); :meth:`load` reassembles base + parts. The shape
-        args size the empty base file when nothing is appended."""
+        args size the empty base file when nothing is appended. ``raw``
+        marks the files as symmetry-UNexpanded (expansion deferred to
+        :meth:`load_window` with ``symmetric_env``)."""
         return IterationWriter(self.path(iteration), obs_shape, action_size,
-                               value_size)
+                               value_size, raw=raw)
+
+    def sample_meta(self, iteration: int, symmetric_env=None):
+        """(sample_count, raw_flag) for an iteration, where the count is in
+        TRAINING units (raw files count x NUM_SYMMETRIES when
+        ``symmetric_env`` is given) — the autoTrainSteps accounting the
+        reference does by sample-tensor length (Coach.py:475-477)."""
+        p = self.path(iteration)
+        files = ([p] if os.path.exists(p) else []) + sorted(
+            glob(p + ".part*"))
+        if not files:
+            return None
+        n = 0
+        raw = False
+        for f in files:
+            with np.load(f) as z:
+                n += len(z["value"])
+                if "raw" in z:
+                    raw = raw or bool(z["raw"])
+        if raw and symmetric_env is not None:
+            n *= symmetric_env.NUM_SYMMETRIES
+        return n, raw
 
     def load(self, iteration: int) -> Optional[Tuple[np.ndarray, ...]]:
         p = self.path(iteration)
@@ -383,15 +416,62 @@ class ReplayStore:
             self.folder, "iteration-*" + self._suffix + ".npz"))
             if ".part" not in os.path.basename(f)])
 
-    def load_window(self, first_iter: int, last_iter: int):
-        """Concatenate samples of iterations [first_iter, last_iter]."""
-        parts = [self.load(i) for i in range(first_iter, last_iter + 1)]
-        parts = [p for p in parts if p is not None]
+    def load_window(self, first_iter: int, last_iter: int,
+                    max_samples: int = 0,
+                    rng: "np.random.Generator | None" = None,
+                    symmetric_env=None):
+        """Concatenate samples of iterations [first_iter, last_iter].
+
+        ``max_samples`` > 0 caps the window by UNIFORM per-iteration
+        subsampling (each iteration keeps the same fraction), counted in
+        TRAINING units (post-expansion). Long-game symmetric envs can emit
+        millions of samples per iteration; loading several such iterations
+        dense is a host-OOM (observed: 130 GB RSS → oom-kill), and the
+        standard AlphaZero remedy is to train on a window SAMPLE anyway.
+        0 = unlimited (the reference loads its whole window too,
+        Coach.py:466-469).
+
+        ``symmetric_env``: expand RAW (symmetry-deferred) iteration files
+        by the env's symmetry group here — AFTER the subsample — so
+        collection never pays the 8x expansion/compression inline (see
+        StreamingFinalizer.expand_at_collect)."""
+        parts = []
+        for i in range(first_iter, last_iter + 1):
+            p = self.load(i)
+            if p is None:
+                continue
+            meta = self.sample_meta(i)
+            parts.append((p, bool(meta and meta[1])))
         if not parts:
             return None
-        obs = np.concatenate([p[0] for p in parts])
-        pi = np.concatenate([p[1] for p in parts])
-        val = np.concatenate([p[2] for p in parts])
+
+        def factor(raw):
+            return (symmetric_env.NUM_SYMMETRIES
+                    if raw and symmetric_env is not None else 1)
+
+        total = sum(len(p[0]) * factor(raw) for p, raw in parts)
+        if max_samples and total > max_samples:
+            frac = max_samples / total
+            rng = rng or np.random.default_rng(0)
+            kept = []
+            for p, raw in parts:
+                n = len(p[0])
+                idx = rng.permutation(n)[: max(1, int(n * frac))]
+                idx.sort()
+                kept.append((tuple(x[idx] for x in p), raw))
+            parts = kept
+        expanded = []
+        for (obs, pi, val), raw in parts:
+            if factor(raw) > 1 and len(obs):
+                # f16 in/out: the expanded window is the dominant train-time
+                # host allocation; batches are cast to f32 at feed time.
+                obs, pi = _expand_symmetries(
+                    symmetric_env, obs, pi, out_dtype=np.float16)
+                val = np.repeat(val, symmetric_env.NUM_SYMMETRIES, axis=0)
+            expanded.append((obs, pi, val))
+        obs = np.concatenate([p[0] for p in expanded])
+        pi = np.concatenate([p[1] for p in expanded])
+        val = np.concatenate([p[2] for p in expanded])
         return obs, pi, val
 
 
@@ -405,8 +485,9 @@ class IterationWriter:
     """
 
     def __init__(self, base_path: str, obs_shape, action_size: int,
-                 value_size: int):
+                 value_size: int, raw: bool = False):
         self.base = base_path
+        self.raw = bool(raw)
         self.obs_shape = tuple(obs_shape)
         self.action_size = int(action_size)
         self.value_size = int(value_size)
@@ -422,7 +503,13 @@ class IterationWriter:
             return
         path = (self.base if self.count == 0
                 else f"{self.base}.part{self.count:03d}")
-        np.savez_compressed(path, obs=obs, pi=pi, value=value)
+        # Stored f16: halves disk AND the training-time window RAM; board
+        # planes are exactly representable and π rounds at ~0.05% (the same
+        # precision the records already had on the wire).
+        np.savez_compressed(path, obs=np.asarray(obs, np.float16),
+                            pi=np.asarray(pi, np.float16),
+                            value=np.asarray(value, np.float32),
+                            raw=np.bool_(self.raw))
         self.count += 1
         self.samples += len(obs)
 
@@ -432,7 +519,8 @@ class IterationWriter:
                 self.base,
                 obs=np.zeros((0,) + self.obs_shape, np.float32),
                 pi=np.zeros((0, self.action_size), np.float32),
-                value=np.zeros((0, self.value_size), np.float32))
+                value=np.zeros((0, self.value_size), np.float32),
+                raw=np.bool_(self.raw))
         return self.samples
 
 

@@ -351,11 +351,16 @@ class Coach:
         PIPE = 8
         stats_win = []   # host [B, V] per round (small — stats + finalize)
         stats_done = []  # host [B] per round
+        symmetric = bool(self.args.symmetricSamples) and \
+            self.env.NUM_SYMMETRIES > 1
         writer = self.store.writer(
             iteration, self.env.OBS_SHAPE, self.env.ACTION_SIZE,
-            int(self.args._num_players))
+            int(self.args._num_players), raw=symmetric)
+        # Symmetry expansion is deferred to training time (raw files +
+        # load_window(symmetric_env=...)): expanding inline multiplied the
+        # collection loop's host compression/IO by NUM_SYMMETRIES.
         fin = StreamingFinalizer(
-            self.env, bool(self.args.symmetricSamples), writer.append)
+            self.env, symmetric, writer.append, expand_at_collect=False)
         raw = deque()  # device-side rounds awaiting host materialization
         pending = deque()
         start = time.time()
@@ -462,7 +467,17 @@ class Coach:
             int(self.args.trainHistoryIncrementIters),
         )
         first = max(1, iteration - window)
-        data = self.store.load_window(first, iteration)
+        # maxWindowSamples (default 4M): uniform window subsample cap — the
+        # reference loads its whole window into RAM too (Coach.py:466-469),
+        # but long-game symmetric envs here emit ~3M samples/iteration and
+        # an uncapped multi-iteration window is a host OOM (see
+        # ReplayStore.load_window).
+        sym_env = (self.env if bool(self.args.symmetricSamples)
+                   and self.env.NUM_SYMMETRIES > 1 else None)
+        data = self.store.load_window(
+            first, iteration,
+            max_samples=int(self.args.get("maxWindowSamples", 4_000_000)),
+            rng=self._np_rng, symmetric_env=sym_env)
         if data is None:
             print("Warning: no training data found; skipping train step")
             self.state = TrainState.STANDBY
@@ -470,15 +485,17 @@ class Coach:
 
         batch_size = int(self.args.train_batch_size)
         if self.args.autoTrainSteps:
+            # Sample counts in training units (raw files scale by the
+            # symmetry group) from file metadata — no full loads.
             if self.args.averageTrainSteps:
                 counts = [
-                    len(d[0]) for i in range(first, iteration + 1)
-                    if (d := self.store.load(i)) is not None
+                    m[0] for i in range(first, iteration + 1)
+                    if (m := self.store.sample_meta(i, sym_env)) is not None
                 ]
                 latest = int(np.mean(counts)) if counts else 0
             else:
-                latest_data = self.store.load(iteration)
-                latest = len(latest_data[0]) if latest_data else 0
+                meta = self.store.sample_meta(iteration, sym_env)
+                latest = meta[0] if meta else 0
             train_steps = max(latest // batch_size, 1)
         else:
             train_steps = int(self.args.train_steps_per_iteration)
@@ -530,7 +547,12 @@ class Coach:
         start = 1
         for _ in range(num_chunks):
             end = min(start + chunk - 1, total_iters)
-            data = past.load_window(start, end)
+            data = past.load_window(
+                start, end,
+                max_samples=int(self.args.get("maxWindowSamples", 4_000_000)),
+                rng=self._np_rng,
+                symmetric_env=(self.env if bool(self.args.symmetricSamples)
+                               and self.env.NUM_SYMMETRIES > 1 else None))
             start = end + 1
             if data is None:
                 continue
