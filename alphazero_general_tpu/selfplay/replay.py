@@ -435,33 +435,38 @@ class ReplayStore:
         by the env's symmetry group here — AFTER the subsample — so
         collection never pays the 8x expansion/compression inline (see
         StreamingFinalizer.expand_at_collect)."""
-        parts = []
-        for i in range(first_iter, last_iter + 1):
-            p = self.load(i)
-            if p is None:
-                continue
-            meta = self.sample_meta(i)
-            parts.append((p, bool(meta and meta[1])))
-        if not parts:
-            return None
-
         def factor(raw):
             return (symmetric_env.NUM_SYMMETRIES
                     if raw and symmetric_env is not None else 1)
 
-        total = sum(len(p[0]) * factor(raw) for p, raw in parts)
-        if max_samples and total > max_samples:
-            frac = max_samples / total
-            rng = rng or np.random.default_rng(0)
-            kept = []
-            for p, raw in parts:
-                n = len(p[0])
-                idx = rng.permutation(n)[: max(1, int(n * frac))]
-                idx.sort()
-                kept.append((tuple(x[idx] for x in p), raw))
-            parts = kept
+        # Pass 1: counts from file metadata only — loading every iteration
+        # dense before subsampling held multiple 30+ GB legacy files in RAM
+        # at once (observed 85+ GB while "loading the window").
+        metas = {}
+        total = 0
+        for i in range(first_iter, last_iter + 1):
+            m = self.sample_meta(i)
+            if m is not None:
+                metas[i] = m
+                total += m[0] * factor(m[1])
+        if not metas:
+            return None
+        frac = (max_samples / total
+                if max_samples and total > max_samples else 1.0)
+        rng = rng or np.random.default_rng(0)
+
+        # Pass 2: load → subsample → expand one iteration at a time, freeing
+        # each full file before the next loads.
         expanded = []
-        for (obs, pi, val), raw in parts:
+        for i, (n_i, raw) in metas.items():
+            p = self.load(i)
+            if p is None:
+                continue
+            obs, pi, val = p
+            if frac < 1.0:
+                idx = rng.permutation(len(obs))[: max(1, int(len(obs) * frac))]
+                idx.sort()
+                obs, pi, val = obs[idx], pi[idx], val[idx]
             if factor(raw) > 1 and len(obs):
                 # f16 in/out: the expanded window is the dominant train-time
                 # host allocation; batches are cast to f32 at feed time.
