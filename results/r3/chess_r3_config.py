@@ -22,7 +22,7 @@ env = get_env("chess")
 args = get_args(
     run_name=RUN,
     seed=11,
-    numIters=6,
+    numIters=4,
     numWarmupIters=1,
     process_batch_size=256,
     gamesPerIteration=512,
