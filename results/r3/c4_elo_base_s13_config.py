@@ -3,7 +3,14 @@ Round-2 connect4 gated run A (baseline defaults: fresh tree per move,
 leaf_batch=1) — source of the Elo-vs-iterations curve (BASELINE.json metric)
 and the A side of the reuse_tree / leaf_batch A/Bs. Same recipe as the
 archived round-1 `connect4_final` run, with a pinned seed so the A/B runs
-share self-play RNG structure."""
+share self-play RNG structure.
+
+Horizon note: this seed runs 15 iterations (not the seed-7 arms' 30) — the
+round-2 curve (results/r2/elo_all.json) shows the fresh-vs-reuse gap fully
+established by iteration 15 (base 447.5 vs reuse 398.6 Elo at @15, and the
+gap only widens after), and the
+second seed's job is to confirm the SIGN and rough magnitude of that gap at
+equal iterations, which the shorter horizon tests at half the chip cost."""
 import sys; sys.path.insert(0, "/root/repo")
 import time
 import jax
@@ -18,7 +25,7 @@ env = get_env("connect4")
 args = get_args(
     run_name=RUN,
     seed=13,
-    numIters=30,
+    numIters=15,
     numWarmupIters=1,
     process_batch_size=2048,
     gamesPerIteration=4096,

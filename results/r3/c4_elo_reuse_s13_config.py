@@ -3,7 +3,10 @@ Round-2 connect4 gated run B: reuse_tree=True (the reference's
 default update_root tree-reuse semantics, MCTS.pyx:185-195) — the B arm of
 the reuse_tree A/B against c4_elo_base. Same recipe as the
 archived round-1 `connect4_final` run, with a pinned seed so the A/B runs
-share self-play RNG structure."""
+share self-play RNG structure.
+
+Horizon note: 15 iterations, matching c4_elo_base_s13_config.py — see the
+rationale there (the round-2 gap is fully established by @15)."""
 import sys; sys.path.insert(0, "/root/repo")
 import time
 import jax
@@ -18,7 +21,7 @@ env = get_env("connect4")
 args = get_args(
     run_name=RUN,
     seed=13,
-    numIters=30,
+    numIters=15,
     numWarmupIters=1,
     process_batch_size=2048,
     gamesPerIteration=4096,
