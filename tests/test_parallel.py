@@ -62,8 +62,38 @@ class TestSharding:
             )
 
     def test_dryrun_multichip(self):
+        # Run in a FRESH subprocess: the dryrun compiles ~30 distinct XLA
+        # programs (3 Coach cycles + sharded segmented searches), and XLA's
+        # CPU compiler has been observed to segfault (flakily) when those
+        # compiles land on top of the full suite's accumulated compiler
+        # state in-process. A clean interpreter reproduces exactly what the
+        # driver does when it invokes dryrun_multichip.
+        import subprocess
         import sys
-        sys.path.insert(0, "/root/repo")
-        import __graft_entry__ as ge
 
-        ge.dryrun_multichip(8)
+        prog = (
+            "import os\n"
+            "f = os.environ.get('XLA_FLAGS', '')\n"
+            "if 'xla_force_host_platform_device_count' not in f:\n"
+            "    os.environ['XLA_FLAGS'] = (\n"
+            "        f + ' --xla_force_host_platform_device_count=8'\n"
+            "    ).strip()\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import sys\n"
+            "sys.path.insert(0, '/root/repo')\n"
+            "import __graft_entry__ as ge\n"
+            "ge.dryrun_multichip(8)\n"
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True, timeout=1800,
+            cwd="/root/repo",
+        )
+        assert res.returncode == 0, (
+            f"dryrun_multichip subprocess failed "
+            f"(rc={res.returncode})\nstdout:\n{res.stdout[-4000:]}\n"
+            f"stderr:\n{res.stderr[-4000:]}"
+        )
+        assert "dryrun_multichip(8) OK" in res.stdout
