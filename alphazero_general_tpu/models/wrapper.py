@@ -80,6 +80,7 @@ class NNetWrapper:
             opt_state=self.tx.init(params),
             step=jnp.int32(0),
         )
+        self._sym_env = None
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_process = jax.jit(self._process)
         self.mesh = None
@@ -103,6 +104,45 @@ class NNetWrapper:
             return
         self._jit_train_step = make_sharded_train_step(self, mesh)
         self.state = replicate_tree(self.state, mesh)
+
+    def set_device_symmetries(self, env) -> None:
+        """Train on RAW (un-expanded) sample batches: each jitted train step
+        applies one random symmetry per drawn sample ON DEVICE — batches
+        become ``(obs, pi, value, sym_idx)``. Replaces the reference's 8x
+        host-side dataset expansion (Coach.py:375-381 via symmetricSamples):
+        the expanded window never exists anywhere, host RAM and feed
+        bandwidth drop by the symmetry-group size, and the gathers ride the
+        TPU. ``env=None`` restores the expanded-batch contract."""
+        if env is not None and getattr(env, "NUM_SYMMETRIES", 1) <= 1:
+            env = None
+        if env is self._sym_env:
+            return
+        self._sym_env = env
+        # The batch pytree structure changes (3-tuple <-> 4-tuple), so the
+        # jitted step (and its mesh shardings) must be rebuilt.
+        if self.mesh is not None:
+            from alphazero_general_tpu.parallel.mesh import (
+                make_sharded_train_step,
+            )
+
+            self._jit_train_step = make_sharded_train_step(self, self.mesh)
+        else:
+            self._jit_train_step = jax.jit(self._train_step)
+
+    def _prep_batch(self, batch):
+        """Normalize a train batch inside the jitted step: cast to f32 on
+        device (batches ship in the store's f16 — half the host→device
+        bytes) and, when device symmetries are enabled, replace each row by
+        its ``sym_idx``-th symmetric image via the env's own ``symmetries``
+        (bit-identical to the host expansion path, tests/test_device_sym)."""
+        if self._sym_env is not None and len(batch) == 4:
+            obs, pi, value, sym = batch
+            obs = obs.astype(jnp.float32)
+            pi = pi.astype(jnp.float32)
+            o_s, p_s = jax.vmap(self._sym_env.symmetries)(obs, pi)
+            b = jnp.arange(obs.shape[0])
+            return (o_s[b, sym], p_s[b, sym], value.astype(jnp.float32))
+        return tuple(x.astype(jnp.float32) for x in batch)
 
     # ------------------------------------------------------------------ eval
     def _process(self, variables, obs):
@@ -176,6 +216,7 @@ class NNetWrapper:
         return l_pi + l_v, (l_pi, l_v, new_stats)
 
     def _train_step(self, state: NetState, batch, lr):
+        batch = self._prep_batch(batch)
         grad_fn = jax.value_and_grad(self._loss, has_aux=True)
         (_, (l_pi, l_v, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch
@@ -242,30 +283,67 @@ class NNetWrapper:
                 if rows != len(batch[0]):
                     batch = tuple(x[:rows] for x in batch)
                 return host_local_to_global(
-                    tuple(jnp.asarray(x, jnp.float32)
-                          for x in batch), self.mesh)
-            # f32 regardless of the store's (f16) sample dtype —
-            # CE/log math must not run in half precision.
-            return tuple(jnp.asarray(x, jnp.float32) for x in batch)
+                    tuple(jnp.asarray(x) for x in batch), self.mesh)
+            # Ship the store's dtype (f16 halves host→device bytes); the
+            # step casts to f32 on device before any CE/log math
+            # (_prep_batch) — half precision never reaches the loss.
+            return tuple(jnp.asarray(x) for x in batch)
 
-        while step < train_steps:
-            progressed = False
-            for batch in batches:
-                if step >= train_steps:
-                    break
-                batch = _to_device(batch)
+        # Producer thread: host-side batch assembly (fancy-gather over the
+        # window + device transfer enqueue) runs ahead of the step loop so
+        # it overlaps device compute instead of serializing with it — the
+        # replacement for the reference's DataLoader worker/pin_memory feed
+        # (Coach.py:466-469).
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def _producer():
+            try:
+                for batch in batches:
+                    if stop.is_set():
+                        return
+                    dev = _to_device(batch)
+                    if dev is None:
+                        continue
+                    while not stop.is_set():
+                        try:
+                            q.put(dev, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(None, timeout=0.2)  # end-of-data sentinel
+                        break
+                    except queue.Full:
+                        continue
+
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+        try:
+            while step < train_steps:
+                batch = q.get()
                 if batch is None:
-                    continue
+                    break  # finite/empty iterable exhausted
                 self.state, (l_pi, l_v) = self._jit_train_step(
                     self.state, batch, lr
                 )
                 step += 1
-                progressed = True
                 pend.append((step, l_pi, l_v))
                 while len(pend) > PIPE:
                     _drain_one()
-            if not progressed:
-                break  # empty iterable — avoid an infinite loop
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer stuck on put()
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            producer.join(timeout=5.0)
         while pend:
             _drain_one()
         self.l_pi = pi_sum / max(count, 1)

@@ -168,9 +168,12 @@ def make_sharded_train_step(wrapper, mesh: Mesh):
     rep = replicated(mesh)
     data = batch_sharding(mesh)
 
+    # ``data`` as a pytree prefix covers the whole batch tuple — 3-tuple
+    # expanded batches and 4-tuple (obs, pi, value, sym_idx) device-symmetry
+    # batches alike shard on their leading (sample) axis.
     return jax.jit(
         wrapper._train_step,
-        in_shardings=(rep, (data, data, data), None),
+        in_shardings=(rep, data, None),
         out_shardings=(rep, None),
     )
 

@@ -419,7 +419,7 @@ class ReplayStore:
     def load_window(self, first_iter: int, last_iter: int,
                     max_samples: int = 0,
                     rng: "np.random.Generator | None" = None,
-                    symmetric_env=None):
+                    symmetric_env=None, expand: bool = True):
         """Concatenate samples of iterations [first_iter, last_iter].
 
         ``max_samples`` > 0 caps the window by UNIFORM per-iteration
@@ -434,7 +434,13 @@ class ReplayStore:
         ``symmetric_env``: expand RAW (symmetry-deferred) iteration files
         by the env's symmetry group here — AFTER the subsample — so
         collection never pays the 8x expansion/compression inline (see
-        StreamingFinalizer.expand_at_collect)."""
+        StreamingFinalizer.expand_at_collect).
+
+        ``expand=False``: count/cap in training units exactly as above but
+        KEEP the rows raw — the train step applies a random symmetry per
+        drawn sample on device instead (NNetWrapper.set_device_symmetries),
+        so the resident window is S times smaller for the same cap and the
+        host never runs the expansion gathers at all."""
         def factor(raw):
             return (symmetric_env.NUM_SYMMETRIES
                     if raw and symmetric_env is not None else 1)
@@ -467,7 +473,7 @@ class ReplayStore:
                 idx = rng.permutation(len(obs))[: max(1, int(len(obs) * frac))]
                 idx.sort()
                 obs, pi, val = obs[idx], pi[idx], val[idx]
-            if factor(raw) > 1 and len(obs):
+            if factor(raw) > 1 and len(obs) and expand:
                 # f16 in/out: the expanded window is the dominant train-time
                 # host allocation; batches are cast to f32 at feed time.
                 obs, pi = _expand_symmetries(

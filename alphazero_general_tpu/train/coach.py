@@ -134,7 +134,11 @@ class Coach:
         self.train_net.pause_train = self.pause_train
 
         self.store = ReplayStore(args.data, args.run_name)
-        self.writer = make_writer("runs", args.run_name)
+        # args.log_dir: metrics destination (default "runs"). Strength runs
+        # point this at a durable results/ dir so curves survive the host
+        # (two round-3 runs died with their metrics in gitignored runs/).
+        self.writer = make_writer(
+            str(args.get("log_dir", "runs")), args.run_name)
         from alphazero_general_tpu.utils.trace import PhaseTracer
 
         self.tracer = PhaseTracer(
@@ -474,24 +478,34 @@ class Coach:
         # ReplayStore.load_window).
         sym_env = (self.env if bool(self.args.symmetricSamples)
                    and self.env.NUM_SYMMETRIES > 1 else None)
+        # Device symmetries (default on): keep the window RAW and let each
+        # jitted train step apply one random symmetry per drawn sample on
+        # device — S times less host RAM/feed bandwidth than materializing
+        # the expanded dataset the way the reference does (Coach.py:375-381).
+        device_sym = sym_env is not None and bool(
+            self.args.get("deviceSymmetries", True))
         data = self.store.load_window(
             first, iteration,
             max_samples=int(self.args.get("maxWindowSamples", 4_000_000)),
-            rng=self._np_rng, symmetric_env=sym_env)
+            rng=self._np_rng, symmetric_env=sym_env,
+            expand=not device_sym)
         if data is None:
             print("Warning: no training data found; skipping train step")
             self.state = TrainState.STANDBY
             return
+        self.train_net.set_device_symmetries(sym_env if device_sym else None)
 
         batch_size = int(self.args.train_batch_size)
+        # Sample counts in training units (raw files scale by the symmetry
+        # group) from file metadata — no full loads. Also feeds the
+        # window/epoch accounting scalars below.
+        counts = [
+            m[0] for i in range(first, iteration + 1)
+            if (m := self.store.sample_meta(i, sym_env)) is not None
+        ]
+        window_units = int(sum(counts))
         if self.args.autoTrainSteps:
-            # Sample counts in training units (raw files scale by the
-            # symmetry group) from file metadata — no full loads.
             if self.args.averageTrainSteps:
-                counts = [
-                    m[0] for i in range(first, iteration + 1)
-                    if (m := self.store.sample_meta(i, sym_env)) is not None
-                ]
                 latest = int(np.mean(counts)) if counts else 0
             else:
                 meta = self.store.sample_meta(iteration, sym_env)
@@ -507,9 +521,15 @@ class Coach:
             train_steps = int(multihost_utils.process_allgather(
                 np.array(train_steps)).min())
 
+        n_sym = sym_env.NUM_SYMMETRIES if device_sym else 1
+
         def batches():
             while True:
-                yield from batch_iterator(data, batch_size, self._np_rng)
+                for b in batch_iterator(data, batch_size, self._np_rng):
+                    if device_sym:
+                        b = b + (self._np_rng.integers(
+                            0, n_sym, size=len(b[0]), dtype=np.int32),)
+                    yield b
 
         from alphazero_general_tpu.utils.misc import Bar
 
@@ -523,6 +543,18 @@ class Coach:
             batches(), train_steps, iteration=iteration, callback=_progress
         )
         bar.finish()
+        # Epoch/coverage accounting (VERDICT r3 item 2): how much of the
+        # window the model actually saw this iteration — the reference's
+        # implicit accounting is autoTrainSteps itself (Coach.py:475-477);
+        # here it is explicit so under-training is visible on the curves.
+        seen = train_steps * batch_size
+        self.writer.add_scalar("train/window_samples", window_units,
+                               iteration)
+        self.writer.add_scalar("train/samples_seen", seen, iteration)
+        self.writer.add_scalar("train/effective_epochs",
+                               seen / max(window_units, 1), iteration)
+        self.writer.add_scalar("train/window_rows_resident", len(data[0]),
+                               iteration)
         self.writer.add_scalar("loss/policy", self.loss_pi, iteration)
         self.writer.add_scalar("loss/value", self.loss_v, iteration)
         self.writer.add_scalar(
