@@ -72,6 +72,7 @@ button, select { background: #2b3440; color: #e8eaed; border: 1px solid #3a434d;
   <button onclick="trainStart()">start</button>
   <button onclick="trainPause()">pause/resume</button>
   <button onclick="trainStop()">stop</button>
+  <button onclick="tensorboard()">tensorboard</button>
 </div>
 <div id="tstatus" style="margin-top:0.6em">idle</div>
 <div style="margin-top:0.6em"><button onclick="toggleArgs()">edit args</button></div>
@@ -132,6 +133,11 @@ async function trainStart() {
 }
 async function trainPause() { await api('/api/train/pause', {}); }
 async function trainStop() { await api('/api/train/stop', {}); }
+async function tensorboard() {
+  const s = await api('/api/tensorboard/start', {});
+  if (s.url) window.open(s.url, '_blank');
+  else alert(s.error || 'tensorboard failed to start');
+}
 async function pollTrain() {
   const s = await api('/api/train/status');
   if (!s.running && !s.state) return;
@@ -734,6 +740,58 @@ class TrainManager:
 _TRAIN = TrainManager()
 
 
+class TensorBoardManager:
+    """One-click TensorBoard launch — reference parity with the GUI's TB
+    button (AlphaZeroGUI/main.py:977-982). Spawns ``python -m
+    tensorboard.main`` against the metrics dir and reports the URL."""
+
+    def __init__(self):
+        self.proc = None
+        self.port = None
+        self.logdir = None
+        atexit.register(self.stop)
+
+    def status(self) -> dict:
+        running = self.proc is not None and self.proc.poll() is None
+        return {
+            "running": running,
+            "port": self.port if running else None,
+            "url": (f"http://127.0.0.1:{self.port}/" if running else None),
+            "logdir": self.logdir,
+        }
+
+    def start(self, logdir: str = "runs", port: int = 6006) -> dict:
+        if self.proc is not None and self.proc.poll() is None:
+            return self.status()
+        import importlib.util
+        import subprocess
+        import sys
+
+        if importlib.util.find_spec("tensorboard") is None:
+            return {"running": False, "error": "tensorboard not installed"}
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "tensorboard.main", "--logdir", logdir,
+             "--port", str(port), "--host", "127.0.0.1"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        self.port = int(port)
+        self.logdir = logdir
+        return self.status()
+
+    def stop(self) -> dict:
+        if self.proc is not None and self.proc.poll() is None:
+            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=5)
+            except Exception:
+                self.proc.kill()
+        self.proc = None
+        return self.status()
+
+
+_TENSORBOARD = TensorBoardManager()
+
+
 @atexit.register
 def _stop_train_at_exit() -> None:
     # A daemon Coach thread still inside an XLA call when the interpreter
@@ -794,6 +852,8 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"env": env_name, "args": encoded})
         elif self.path == "/api/train/status":
             self._json(_TRAIN.status())
+        elif self.path == "/api/tensorboard":
+            self._json(_TENSORBOARD.status())
         elif self.path.startswith("/api/state"):
             game = self.path.split("game=")[-1]
             sess = _SESSIONS.get(game)
@@ -859,6 +919,12 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(_TRAIN.pause())
             elif self.path == "/api/train/stop":
                 self._json(_TRAIN.stop())
+            elif self.path == "/api/tensorboard/start":
+                self._json(_TENSORBOARD.start(
+                    payload.get("logdir", "runs"),
+                    int(payload.get("port", 6006))))
+            elif self.path == "/api/tensorboard/stop":
+                self._json(_TENSORBOARD.stop())
             else:
                 self._json({"error": "not found"}, 404)
         except Exception as e:  # surface errors to the UI
