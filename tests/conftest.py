@@ -11,14 +11,7 @@ tests must never grab it or they deadlock against a running bench).
 """
 
 import os
+import sys
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _cpu_mesh_bootstrap  # noqa: F401, E402  (single source of truth)

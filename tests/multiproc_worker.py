@@ -16,15 +16,12 @@ import sys
 proc_id, num_procs, port, workdir = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=2"
-).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Shared CPU bootstrap (tests/_cpu_mesh_bootstrap.py), 2 devices per process.
+os.environ["AZG_TEST_DEVICE_COUNT"] = "2"
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _cpu_mesh_bootstrap  # noqa: F401, E402
 
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}",
     num_processes=num_procs,

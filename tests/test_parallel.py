@@ -71,18 +71,14 @@ class TestSharding:
         import subprocess
         import sys
 
+        # Shared bootstrap module (tests/_cpu_mesh_bootstrap.py) — the same
+        # CPU/8-virtual-device setup conftest.py applies, one source of
+        # truth so the subprocess cannot drift from the suite config.
         prog = (
-            "import os\n"
-            "f = os.environ.get('XLA_FLAGS', '')\n"
-            "if 'xla_force_host_platform_device_count' not in f:\n"
-            "    os.environ['XLA_FLAGS'] = (\n"
-            "        f + ' --xla_force_host_platform_device_count=8'\n"
-            "    ).strip()\n"
-            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
-            "import jax\n"
-            "jax.config.update('jax_platforms', 'cpu')\n"
             "import sys\n"
             "sys.path.insert(0, '/root/repo')\n"
+            "sys.path.insert(0, '/root/repo/tests')\n"
+            "import _cpu_mesh_bootstrap\n"
             "import __graft_entry__ as ge\n"
             "ge.dryrun_multichip(8)\n"
         )
