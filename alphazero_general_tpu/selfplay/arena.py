@@ -52,6 +52,11 @@ class ArenaConfig(NamedTuple):
     # the reference's known ~10x batched-arena cost (Arena.pyx:209). False
     # falls back to every-model-evaluates-everything + select (bench A/B).
     route_owner: bool = True
+    # Host-stepped driver (one jitted program per move round) instead of
+    # search fused into lax.while_loop. Bit-identical games; required at
+    # large sims x tower scale where the fused whole-game program crashes
+    # the TPU worker (args.arenaHostLoop).
+    host_loop: bool = False
     spec: T.SearchSpec = T.SearchSpec(add_root_noise=False, add_root_temp=False)
 
     @property
@@ -74,6 +79,7 @@ class ArenaConfig(NamedTuple):
             arena_temp=float(args.arenaTemp),
             tree_capacity=int(args.get("max_tree_nodes", 0)),
             walk_impl=str(args.get("walk_impl", "auto")),
+            host_loop=bool(args.get("arenaHostLoop", False)),
             spec=spec,
         )
 
@@ -153,13 +159,10 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
     # group index of every game (games are laid out group-contiguously)
     group = jnp.repeat(jnp.arange(N), G)
 
-    def cond(carry):
-        states, done, result, length, t, rng = carry
-        return (~jnp.all(done)) & (t < env.MAX_TURNS)
-
-    def body(carry):
-        states, done, result, length, t, rng = carry
-        rng, r_search, r_action = jax.random.split(rng, 3)
+    def move(carry, t, r_search, r_action):
+        """One arena move round for the whole batch (shared by the fused
+        while_loop driver and the host-stepped driver below)."""
+        states, done, result, length = carry
 
         if alternates and cfg.route_owner:
             eval_fn = lambda obs: eval_grouped(obs, t)  # noqa: E731
@@ -188,17 +191,50 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
         result = jnp.where(now_done[:, None], win, result)
         length = jnp.where(now_done, t + 1, length)
         done = done | now_done
-        return new_states, done, result, length, t + 1, rng
+        return new_states, done, result, length
 
-    init = (
+    carry0 = (
         states,
         constrain(jnp.zeros((B,), jnp.bool_)),
         constrain(jnp.zeros((B, value_size), jnp.float32)),
         constrain(jnp.zeros((B,), jnp.int32)),
-        jnp.int32(0),
-        rng,
     )
-    states, done, result, length, t, rng = jax.lax.while_loop(cond, body, init)
+
+    if cfg.host_loop:
+        # Host-stepped driver: one jitted program per move round instead of
+        # search fused into lax.while_loop — the fused whole-game program
+        # crashes the TPU worker at large sims x tower scale (observed at
+        # 250 sims x 128ch x 10 on hnefatafl; the identical move as a
+        # standalone program runs fine). RNG threading mirrors the fused
+        # driver exactly (same split sequence from the same key), so both
+        # drivers play bit-identical games (tests/test_arena_hostloop.py).
+        move_jit = jax.jit(move)
+        carry = carry0
+        t = 0
+        while t < int(env.MAX_TURNS):
+            rng, r_search, r_action = jax.random.split(rng, 3)
+            carry = move_jit(carry, jnp.int32(t), r_search, r_action)
+            t += 1
+            # Early-exit sync every few moves (each check is a device
+            # round-trip; done games step as frozen no-ops in between).
+            if t % 4 == 0 and bool(jnp.all(carry[1])):
+                break
+        states, done, result, length = carry
+    else:
+        def cond(carry):
+            states, done, result, length, t, rng = carry
+            return (~jnp.all(done)) & (t < env.MAX_TURNS)
+
+        def body(carry):
+            states, done, result, length, t, rng = carry
+            rng, r_search, r_action = jax.random.split(rng, 3)
+            new_states, done, result, length = move(
+                (states, done, result, length), t, r_search, r_action)
+            return new_states, done, result, length, t + 1, rng
+
+        init = carry0 + (jnp.int32(0), rng)
+        states, done, result, length, t, rng = jax.lax.while_loop(
+            cond, body, init)
 
     # Seat remap: model m of group k played player (m + k) % N
     # (reference: player_to_index remap, Arena.pyx:291-299, utils.py:34-54).
@@ -248,6 +284,8 @@ def make_arena_fn(env, cfg: ArenaConfig, apply_fn, num_games: int,
         return play_games(env, cfg, apply_fn, variables_a, variables_b,
                           num_games, rng, apply_fn_b=apply_fn_b, shard=shard)
 
+    if cfg.host_loop:
+        return run  # inner move programs are jitted; the driver is host code
     if mesh is not None:
         return jax.jit(run, in_shardings=(rep, rep, None))
     return jax.jit(run)
@@ -270,6 +308,8 @@ def make_multi_arena_fn(env, cfg: ArenaConfig, apply_fns: Sequence,
         return play_games_multi(env, cfg, apply_fns, variables_list,
                                 num_games, rng, shard=shard)
 
+    if cfg.host_loop:
+        return run  # inner move programs are jitted; the driver is host code
     if mesh is not None:
         return jax.jit(run, in_shardings=([rep] * len(apply_fns), None))
     return jax.jit(run)

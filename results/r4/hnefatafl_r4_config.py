@@ -50,6 +50,8 @@ args = get_args(
     autoTrainSteps=True,              # ~1 epoch over latest iter's samples
     maxWindowSamples=12_000_000,      # training units; raw rows = /8
     arenaCompare=128, arenaCompareBaseline=128, arenaTemp=0.25,
+    arenaHostLoop=True,  # fused whole-game arena crashes the TPU worker at
+                         # 250 sims x 128ch x 10 (see selfplay/arena.py)
     min_next_model_winrate=0.52,
     num_channels=128, depth=10,
     value_head_channels=32, policy_head_channels=32,
