@@ -425,6 +425,18 @@ class Coach:
                 _drain_round()
                 bar.suffix = f"moves {moves}"
                 bar.goto(min(games_done, target))
+            if moves % 64 == 0:
+                # Collection-loop health line (non-TTY logs show no Bar):
+                # round rate + host RSS + finalizer carry size — the
+                # attribution data for any future stall/OOM (an iteration-3
+                # OOM at 130 GB RSS was only diagnosable post-mortem).
+                with open("/proc/self/statm") as f_:
+                    rss_mb = int(f_.read().split()[1]) * 4096 // 2**20
+                open_rows = sum(len(b[0]) for b in fin._open)
+                print(f"[collect] moves={moves} games={games_done} "
+                      f"rss_mb={rss_mb} open_blocks={len(fin._open)} "
+                      f"open_rows={open_rows} "
+                      f"elapsed={time.time() - start:.0f}s", flush=True)
         games_done = int(carry.games_played)
         self.games_played_iter = games_done
         bar.goto(min(games_done, target))
