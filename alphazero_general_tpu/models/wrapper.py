@@ -195,7 +195,11 @@ class NNetWrapper:
                 rng = jax.random.PRNGKey(int(self.args.get("seed", 0)))
             calib_obs = calibration_observations(self.env, rng)
         qp = quantize_resnet(self.model, self.state.variables, calib_obs)
-        return qp, quant_apply
+        # The unquantized head weights pass through quantize_resnet
+        # untouched, so numpy param leaves (e.g. straight after a
+        # checkpoint load) would stay numpy inside qp and be re-uploaded
+        # by every jitted self-play/arena call. Commit the whole pytree.
+        return jax.device_put(qp), quant_apply
 
     # ----------------------------------------------------------------- train
     def _loss(self, params, batch_stats, batch, train: bool = True):
@@ -371,6 +375,13 @@ class NNetWrapper:
             from alphazero_general_tpu.parallel.mesh import replicate_tree
 
             self.state = replicate_tree(self.state, self.mesh)
+        else:
+            # from_bytes restores NUMPY leaves. Left that way, every jitted
+            # consumer re-uploads the full parameter set on every call —
+            # measured 168 MB/move over the TPU tunnel in gated self-play
+            # (the checkpoint-loaded self_play_net), ~3 s/move of transfer
+            # and a client-side staging leak that oom-killed the host.
+            self.state = jax.device_put(self.state)
 
     @classmethod
     def from_checkpoint(cls, env, folder: str, filename: str,

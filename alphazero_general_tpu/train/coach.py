@@ -433,9 +433,22 @@ class Coach:
                 with open("/proc/self/statm") as f_:
                     rss_mb = int(f_.read().split()[1]) * 4096 // 2**20
                 open_rows = sum(len(b[0]) for b in fin._open)
+                import gc
+
+                la = jax.live_arrays()
+                np_mb = sum(
+                    o.nbytes for o in gc.get_objects()
+                    if isinstance(o, np.ndarray)) // 2**20
+                try:
+                    jits = {k: f._cache_size() for k, f in fns.items()}
+                except Exception:
+                    jits = {}
+                print(f"[collect] jit_cache={jits}", flush=True)
                 print(f"[collect] moves={moves} games={games_done} "
                       f"rss_mb={rss_mb} open_blocks={len(fin._open)} "
-                      f"open_rows={open_rows} "
+                      f"open_rows={open_rows} jax_arrays={len(la)} "
+                      f"jax_mb={sum(int(x.size) * x.dtype.itemsize for x in la) // 2**20} "
+                      f"np_mb={np_mb} "
                       f"elapsed={time.time() - start:.0f}s", flush=True)
         games_done = int(carry.games_played)
         self.games_played_iter = games_done

@@ -110,3 +110,33 @@ class TestCheckpoint:
             pi_b, _ = loaded.process(jnp.ones((2, 4, 6, 7)))
             np.testing.assert_allclose(np.asarray(pi_a), np.asarray(pi_b),
                                        rtol=1e-6)
+
+
+def test_checkpoint_load_restores_device_arrays(tmp_path):
+    """from_bytes yields numpy leaves; load_checkpoint must commit them to
+    device arrays — numpy params make every jitted consumer re-upload the
+    full parameter set per call (measured 168 MB/move over the TPU tunnel
+    in gated self-play; it oom-killed the r4 strength run)."""
+    import jax
+
+    from alphazero_general_tpu.envs import get_env
+    from alphazero_general_tpu.models import NNetWrapper
+    from alphazero_general_tpu.utils.config import get_args
+
+    env = get_env("tictactoe")
+    args = get_args(run_name="ckptdev", num_channels=8, depth=1,
+                    value_head_channels=2, policy_head_channels=2,
+                    value_dense_layers=[8], policy_dense_layers=[8])
+    net = NNetWrapper(env, args)
+    net.save_checkpoint(str(tmp_path), "it1")
+    net2 = NNetWrapper(env, args)
+    net2.load_checkpoint(str(tmp_path), "it1")
+    leaves = jax.tree_util.tree_leaves(net2.state)
+    assert all(isinstance(l, jax.Array) for l in leaves), \
+        sorted({type(l).__name__ for l in leaves})
+    qp, _ = net2.quantized_inference() if net2.model.norm == "batchnorm" \
+        else (None, None)
+    if qp is not None:
+        qleaves = jax.tree_util.tree_leaves(qp)
+        assert all(isinstance(l, jax.Array) for l in qleaves), \
+            sorted({type(l).__name__ for l in qleaves})
