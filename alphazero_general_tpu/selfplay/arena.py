@@ -128,7 +128,7 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
 
     states = constrain(jax.vmap(lambda _: env.init())(jnp.arange(B)))
 
-    def eval_grouped(obs, t):
+    def eval_grouped(vlist, obs, t):
         """One model-forward per group: model m evaluates group (t - m) % N
         (the group whose running games have player m+k ≡ t to move)."""
         og = obs.reshape((N, G) + obs.shape[1:])
@@ -137,20 +137,20 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
         for m in range(N):
             gm = (t - m) % N
             obs_m = jax.lax.dynamic_index_in_dim(og, gm, 0, keepdims=False)
-            pm, vm = apply_fns[m](variables_list[m], obs_m)
+            pm, vm = apply_fns[m](vlist[m], obs_m)
             pi = jax.lax.dynamic_update_index_in_dim(
                 pi, jnp.exp(pm).astype(jnp.float32), gm, 0)
             v = jax.lax.dynamic_update_index_in_dim(
                 v, jnp.exp(vm).astype(jnp.float32), gm, 0)
         return pi.reshape(B, A), v.reshape(B, value_size)
 
-    def eval_all(obs, model_idx):
+    def eval_all(vlist, obs, model_idx):
         """Fallback for non-alternating envs: every model evaluates the whole
         batch, per-game select (the pre-rework path)."""
         pi = jnp.zeros((B, A), jnp.float32)
         v = jnp.zeros((B, value_size), jnp.float32)
         for m in range(N):
-            pm, vm = apply_fns[m](variables_list[m], obs)
+            pm, vm = apply_fns[m](vlist[m], obs)
             sel = (model_idx == m)[:, None]
             pi = jnp.where(sel, jnp.exp(pm).astype(jnp.float32), pi)
             v = jnp.where(sel, jnp.exp(vm).astype(jnp.float32), v)
@@ -159,17 +159,17 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
     # group index of every game (games are laid out group-contiguously)
     group = jnp.repeat(jnp.arange(N), G)
 
-    def move(carry, t, r_search, r_action):
+    def move(vlist, carry, t, r_search, r_action):
         """One arena move round for the whole batch (shared by the fused
         while_loop driver and the host-stepped driver below)."""
         states, done, result, length = carry
 
         if alternates and cfg.route_owner:
-            eval_fn = lambda obs: eval_grouped(obs, t)  # noqa: E731
+            eval_fn = lambda obs: eval_grouped(vlist, obs, t)  # noqa: E731
         else:
             # model of game g = model m with (m + group[g]) % N == player[g]
             model_idx = (states.player - group) % N
-            eval_fn = lambda obs: eval_all(obs, model_idx)  # noqa: E731
+            eval_fn = lambda obs: eval_all(vlist, obs, model_idx)  # noqa: E731
 
         trees = constrain(
             S.init_batched_trees(env, states, cfg.capacity, value_size))
@@ -208,12 +208,17 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
         # standalone program runs fine). RNG threading mirrors the fused
         # driver exactly (same split sequence from the same key), so both
         # drivers play bit-identical games (tests/test_arena_hostloop.py).
+        # Model parameters are an ARGUMENT of the per-move program, not a
+        # closure constant: closed-over weights get baked into the
+        # serialized HLO and a two-model 128ch x 10 arena move exceeded the
+        # remote-compile request size limit (HTTP 413).
         move_jit = jax.jit(move)
         carry = carry0
         t = 0
         while t < int(env.MAX_TURNS):
             rng, r_search, r_action = jax.random.split(rng, 3)
-            carry = move_jit(carry, jnp.int32(t), r_search, r_action)
+            carry = move_jit(variables_list, carry, jnp.int32(t),
+                             r_search, r_action)
             t += 1
             # Early-exit sync every few moves (each check is a device
             # round-trip; done games step as frozen no-ops in between).
@@ -229,7 +234,8 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
             states, done, result, length, t, rng = carry
             rng, r_search, r_action = jax.random.split(rng, 3)
             new_states, done, result, length = move(
-                (states, done, result, length), t, r_search, r_action)
+                variables_list, (states, done, result, length), t,
+                r_search, r_action)
             return new_states, done, result, length, t + 1, rng
 
         init = carry0 + (jnp.int32(0), rng)

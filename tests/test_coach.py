@@ -13,6 +13,9 @@ from alphazero_general_tpu.models import NNetWrapper
 from alphazero_general_tpu.train import Coach
 from alphazero_general_tpu.utils.config import get_args
 
+# Integration tier: full Coach cycles / sweeps — deselect with -m 'not slow' for the quick tier.
+pytestmark = pytest.mark.slow
+
 
 def tiny_args(tmp_path, **kw):
     base = dict(

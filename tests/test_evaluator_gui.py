@@ -12,6 +12,9 @@ from alphazero_general_tpu.envs.connect4 import Connect4
 from alphazero_general_tpu.players.evaluator import MCTSEvaluator, greedy_value
 from alphazero_general_tpu.utils.config import get_args
 
+# Integration tier: full Coach cycles / sweeps — deselect with -m 'not slow' for the quick tier.
+pytestmark = pytest.mark.slow
+
 
 def c4(moves):
     s = Connect4.init()

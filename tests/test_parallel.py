@@ -1,5 +1,6 @@
 """Mesh/sharding tests on the 8-device virtual CPU mesh (conftest.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,9 @@ from alphazero_general_tpu.parallel import (
     shard_leading_axis,
 )
 from alphazero_general_tpu.utils.config import get_args
+
+# Integration tier: full Coach cycles / sweeps — deselect with -m 'not slow' for the quick tier.
+pytestmark = pytest.mark.slow
 
 
 def tiny_net():

@@ -1,6 +1,7 @@
 """Small-parity features: one-step-lookahead baseline, per-env crude_value,
 convert_checkpoint_file, mctsResetThreshold (VERDICT.md round-1 item 8)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,9 @@ from alphazero_general_tpu.selfplay.selfplay import (
 from alphazero_general_tpu.utils.config import get_args
 from alphazero_general_tpu.utils.misc import convert_checkpoint_file
 import alphazero_general_tpu.mcts.tree as T
+
+# Integration tier: full Coach cycles / sweeps — deselect with -m 'not slow' for the quick tier.
+pytestmark = pytest.mark.slow
 
 
 def ttt_state(moves):

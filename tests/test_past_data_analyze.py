@@ -1,5 +1,6 @@
 """train_on_past_data pre-training + analyze CLI tests."""
 
+import pytest
 import os
 from glob import glob
 
@@ -10,6 +11,9 @@ from alphazero_general_tpu.models import NNetWrapper
 from alphazero_general_tpu.selfplay import ReplayStore
 from alphazero_general_tpu.train import Coach
 from alphazero_general_tpu.utils.config import get_args
+
+# Integration tier: full Coach cycles / sweeps — deselect with -m 'not slow' for the quick tier.
+pytestmark = pytest.mark.slow
 
 
 def test_train_on_past_data(tmp_path, capsys):

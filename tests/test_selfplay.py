@@ -1,5 +1,6 @@
 """Self-play loop, trajectory finalization, and arena tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +22,9 @@ from alphazero_general_tpu.selfplay import (
     play_chunk,
     winrates,
 )
+
+# Integration tier: full Coach cycles / sweeps — deselect with -m 'not slow' for the quick tier.
+pytestmark = pytest.mark.slow
 
 SPEC = T.SearchSpec(add_root_noise=True, add_root_temp=True,
                     num_players=2, has_draw=True)
