@@ -23,6 +23,18 @@ import time
 
 BASELINE_SIMS_PER_S = 20_000.0
 
+#: Wall-clock deadline for the OPTIONAL extra datapoints (raw search,
+#: with-net self-play, train, arena). The headline metric always runs;
+#: extras are skipped once the budget is spent so a cold compile cache can
+#: never time the whole bench out (each skipped extra is simply absent
+#: from the JSON line).
+_T0 = time.time()
+_EXTRA_DEADLINE_S = float(os.environ.get("BENCH_EXTRA_DEADLINE", 420))
+
+
+def _over_budget() -> bool:
+    return time.time() - _T0 > _EXTRA_DEADLINE_S
+
 # The reference's connect4 production config, exactly
 # (envs/connect4/train.py:17-51): 2048-game batches, 200 full / 40 fast sims
 # at probFastSim 0.75, ResNet 128ch x 8 blocks with 32-channel heads and
@@ -203,7 +215,7 @@ def _selfplay_datapoint(env_name: str, B: int, sims_full: int,
     a large-action env — the honest counterpart to the raw-search extras
     (VERDICT r3 item 4). Model/search budgets mirror the env's results/r4
     strength-run config."""
-    if os.environ.get(skip_env):
+    if os.environ.get(skip_env) or _over_budget():
         return None
     try:
         import jax
@@ -259,7 +271,7 @@ def _selfplay_datapoint(env_name: str, B: int, sims_full: int,
 
 def _tafl_datapoint():
     """Large-action-space datapoint (hnefatafl, A=2420)."""
-    if os.environ.get("BENCH_SKIP_TAFL"):
+    if os.environ.get("BENCH_SKIP_TAFL") or _over_budget():
         return None
     B = int(os.environ.get("BENCH_TAFL_GAMES", 1024))
     return _raw_search_datapoint("hnefatafl", B, 100)
@@ -268,7 +280,7 @@ def _tafl_datapoint():
 def _chess_datapoint():
     """Largest action space (chess, A=4672 — the reference's chess is a dead
     stub, chess.py:82-92; this datapoint has no reference counterpart)."""
-    if os.environ.get("BENCH_SKIP_CHESS"):
+    if os.environ.get("BENCH_SKIP_CHESS") or _over_budget():
         return None
     B = int(os.environ.get("BENCH_CHESS_GAMES", 256))
     return _raw_search_datapoint("chess", B, 100)
@@ -279,7 +291,7 @@ def _train_datapoint(env, net):
     and model FLOPs utilization (FLOPs from XLA's own cost analysis of the
     compiled step). Reference analogue: the torch DataLoader+SGD loop,
     NNetWrapper.py:123-205."""
-    if os.environ.get("BENCH_SKIP_TRAIN"):
+    if os.environ.get("BENCH_SKIP_TRAIN") or _over_budget():
         return None
     try:
         import jax
@@ -329,7 +341,7 @@ def _arena_datapoint(env, net):
     (route_owner True vs the every-model-evaluates-all fallback) — the
     reference flags batched arena as ~10x slower than self-play
     (Arena.pyx:209)."""
-    if os.environ.get("BENCH_SKIP_ARENA"):
+    if os.environ.get("BENCH_SKIP_ARENA") or _over_budget():
         return None
     try:
         import jax
