@@ -751,32 +751,53 @@ class TensorBoardManager:
         self.logdir = None
         atexit.register(self.stop)
 
-    def status(self) -> dict:
+    def status(self, host: str = "127.0.0.1") -> dict:
         running = self.proc is not None and self.proc.poll() is None
         return {
             "running": running,
             "port": self.port if running else None,
-            "url": (f"http://127.0.0.1:{self.port}/" if running else None),
+            # Host comes from the request's Host header (the GUI may be
+            # accessed remotely; a hardcoded 127.0.0.1 link would be dead).
+            "url": (f"http://{host}:{self.port}/" if running else None),
             "logdir": self.logdir,
         }
 
-    def start(self, logdir: str = "runs", port: int = 6006) -> dict:
+    def start(self, logdir: str = "runs", port: int = 6006,
+              host: str = "127.0.0.1") -> dict:
         if self.proc is not None and self.proc.poll() is None:
-            return self.status()
+            return self.status(host)
         import importlib.util
+        import socket
         import subprocess
         import sys
+        import time
 
         if importlib.util.find_spec("tensorboard") is None:
             return {"running": False, "error": "tensorboard not installed"}
         self.proc = subprocess.Popen(
             [sys.executable, "-m", "tensorboard.main", "--logdir", logdir,
-             "--port", str(port), "--host", "127.0.0.1"],
+             "--port", str(port), "--host", "0.0.0.0"],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         self.port = int(port)
         self.logdir = logdir
-        return self.status()
+        # Don't hand the UI a dead URL: wait briefly for the port to accept
+        # (or the process to exit — e.g. port already taken).
+        deadline = time.time() + 15.0
+        while time.time() < deadline:
+            if self.proc.poll() is not None:
+                code = self.proc.poll()
+                self.proc = None
+                return {"running": False,
+                        "error": f"tensorboard exited at startup "
+                                 f"(code {code}; port {port} in use?)"}
+            try:
+                with socket.create_connection(("127.0.0.1", port),
+                                              timeout=0.5):
+                    break
+            except OSError:
+                time.sleep(0.3)
+        return self.status(host)
 
     def stop(self) -> dict:
         if self.proc is not None and self.proc.poll() is None:
@@ -853,7 +874,7 @@ class Handler(BaseHTTPRequestHandler):
         elif self.path == "/api/train/status":
             self._json(_TRAIN.status())
         elif self.path == "/api/tensorboard":
-            self._json(_TENSORBOARD.status())
+            self._json(_TENSORBOARD.status(self._req_host()))
         elif self.path.startswith("/api/state"):
             game = self.path.split("game=")[-1]
             sess = _SESSIONS.get(game)
@@ -863,6 +884,16 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(sess.view())
         else:
             self._json({"error": "not found"}, 404)
+
+    def _req_host(self) -> str:
+        """Hostname the client reached us at (for cross-service links like
+        the TensorBoard URL) — the Host header minus any port."""
+        host = self.headers.get("Host") or "127.0.0.1"
+        if host.startswith("["):  # bracketed IPv6
+            host = host[1:host.find("]")]
+        elif ":" in host:
+            host = host.rsplit(":", 1)[0]
+        return host or "127.0.0.1"
 
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
@@ -922,7 +953,8 @@ class Handler(BaseHTTPRequestHandler):
             elif self.path == "/api/tensorboard/start":
                 self._json(_TENSORBOARD.start(
                     payload.get("logdir", "runs"),
-                    int(payload.get("port", 6006))))
+                    int(payload.get("port", 6006)),
+                    host=self._req_host()))
             elif self.path == "/api/tensorboard/stop":
                 self._json(_TENSORBOARD.stop())
             else:

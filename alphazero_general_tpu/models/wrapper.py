@@ -81,6 +81,7 @@ class NNetWrapper:
             step=jnp.int32(0),
         )
         self._sym_env = None
+        self._window_mode = False
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_process = jax.jit(self._process)
         self.mesh = None
@@ -129,12 +130,41 @@ class NNetWrapper:
         else:
             self._jit_train_step = jax.jit(self._train_step)
 
+    def set_device_window(self, enabled: bool) -> None:
+        """Device-resident window mode (selfplay/device_window.py): train
+        batches become ``(obs_buf, pi_buf, val_buf, idx[, sym_idx])`` — the
+        whole window's device ring buffers plus per-step index vectors; the
+        jitted step gathers its rows ON DEVICE, so the host ships ~KBs of
+        indices per step instead of the minibatch itself. The buffers ride
+        along as jit ARGUMENTS (never closure constants) so a new iteration's
+        updated ring reuses the same compiled program."""
+        enabled = bool(enabled)
+        if enabled == self._window_mode:
+            return
+        self._window_mode = enabled
+        # Batch pytree structure changes — rebuild the jitted step.
+        if self.mesh is not None:
+            from alphazero_general_tpu.parallel.mesh import (
+                make_sharded_train_step,
+            )
+
+            self._jit_train_step = make_sharded_train_step(self, self.mesh)
+        else:
+            self._jit_train_step = jax.jit(self._train_step)
+
     def _prep_batch(self, batch):
         """Normalize a train batch inside the jitted step: cast to f32 on
         device (batches ship in the store's f16 — half the host→device
         bytes) and, when device symmetries are enabled, replace each row by
         its ``sym_idx``-th symmetric image via the env's own ``symmetries``
-        (bit-identical to the host expansion path, tests/test_device_sym)."""
+        (bit-identical to the host expansion path, tests/test_device_sym).
+        Window mode (set_device_window) gathers the minibatch rows from the
+        device-resident ring first — bit-identical to the host gather of the
+        same f16 rows (tests/test_device_window.py)."""
+        if self._window_mode:
+            obs_buf, pi_buf, val_buf, idx = batch[:4]
+            batch = (obs_buf[idx], pi_buf[idx], val_buf[idx]) + tuple(
+                batch[4:])
         if self._sym_env is not None and len(batch) == 4:
             obs, pi, value, sym = batch
             obs = obs.astype(jnp.float32)
@@ -305,19 +335,31 @@ class NNetWrapper:
         stop = threading.Event()
 
         def _producer():
+            # Re-iterables (lists, datasets) restart when exhausted so a
+            # finite batch collection loops epochs until train_steps — the
+            # pre-producer contract (callers like _train_on_past_data pass
+            # short lists and expect step-capped epoch cycling). One-shot
+            # iterators/generators end the loop at exhaustion.
             try:
-                for batch in batches:
-                    if stop.is_set():
-                        return
-                    dev = _to_device(batch)
-                    if dev is None:
-                        continue
-                    while not stop.is_set():
-                        try:
-                            q.put(dev, timeout=0.2)
-                            break
-                        except queue.Full:
+                while not stop.is_set():
+                    it = iter(batches)
+                    one_shot = it is batches
+                    produced = False
+                    for batch in it:
+                        if stop.is_set():
+                            return
+                        dev = _to_device(batch)
+                        if dev is None:
                             continue
+                        produced = True
+                        while not stop.is_set():
+                            try:
+                                q.put(dev, timeout=0.2)
+                                break
+                            except queue.Full:
+                                continue
+                    if one_shot or not produced:
+                        return
             finally:
                 while not stop.is_set():
                     try:
@@ -332,7 +374,13 @@ class NNetWrapper:
             while step < train_steps:
                 batch = q.get()
                 if batch is None:
-                    break  # finite/empty iterable exhausted
+                    # One-shot iterator exhausted (or empty input) before
+                    # train_steps — loud, not silent: callers sizing steps
+                    # from sample counts should know they under-trained.
+                    if step < train_steps:
+                        print(f"Warning: batch source exhausted at step "
+                              f"{step}/{train_steps}")
+                    break
                 self.state, (l_pi, l_v) = self._jit_train_step(
                     self.state, batch, lr
                 )
@@ -342,12 +390,22 @@ class NNetWrapper:
                     _drain_one()
         finally:
             stop.set()
-            while not q.empty():  # unblock a producer stuck on put()
+            # Drain until the producer actually exits: a single timed join
+            # can orphan a daemon thread mid device-transfer that would then
+            # keep iterating `batches` (and its shared numpy RNG) while a
+            # later train() call runs its own producer.
+            import time as _time
+
+            deadline = _time.time() + 30.0
+            while producer.is_alive() and _time.time() < deadline:
                 try:
                     q.get_nowait()
                 except queue.Empty:
-                    break
-            producer.join(timeout=5.0)
+                    pass
+                producer.join(timeout=0.2)
+            if producer.is_alive():
+                print("Warning: train batch producer did not exit; "
+                      "subsequent train() calls may race it")
         while pend:
             _drain_one()
         self.l_pi = pi_sum / max(count, 1)

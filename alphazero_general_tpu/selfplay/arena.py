@@ -84,6 +84,13 @@ class ArenaConfig(NamedTuple):
         )
 
 
+#: Jitted per-move programs for the host-stepped driver, keyed on everything
+#: their trace closes over — reused across play_games_multi calls so repeated
+#: arena invocations don't retrace (values hold strong refs to the id()-keyed
+#: objects so ids can't be recycled into stale-trace aliases).
+_HOST_MOVE_JITS: dict = {}
+
+
 @struct.dataclass
 class ArenaResult:
     """Per-game outcome, seat-remapped to model indices."""
@@ -118,7 +125,10 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
     alternates = bool(getattr(env, "ALTERNATES", True))
 
     def constrain(tree):
-        if shard is None:
+        # with_sharding_constraint is only valid under jit; the host-loop
+        # driver runs carry construction eagerly and applies its shardings
+        # via explicit device_put + the move program's in_shardings instead.
+        if shard is None or cfg.host_loop:
             return tree
         return jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(x, shard)
@@ -205,15 +215,55 @@ def play_games_multi(env, cfg: ArenaConfig, apply_fns: Sequence,
         # search fused into lax.while_loop — the fused whole-game program
         # crashes the TPU worker at large sims x tower scale (observed at
         # 250 sims x 128ch x 10 on hnefatafl; the identical move as a
-        # standalone program runs fine). RNG threading mirrors the fused
-        # driver exactly (same split sequence from the same key), so both
-        # drivers play bit-identical games (tests/test_arena_hostloop.py).
-        # Model parameters are an ARGUMENT of the per-move program, not a
-        # closure constant: closed-over weights get baked into the
-        # serialized HLO and a two-model 128ch x 10 arena move exceeded the
-        # remote-compile request size limit (HTTP 413).
-        move_jit = jax.jit(move)
+        # standalone program runs fine — see
+        # results/r5/fused_arena_crash_repro.py). RNG threading mirrors the
+        # fused driver exactly (same split sequence from the same key), so
+        # both drivers play bit-identical games
+        # (tests/test_arena_hostloop.py). Model parameters are an ARGUMENT
+        # of the per-move program, not a closure constant: closed-over
+        # weights get baked into the serialized HLO and a two-model
+        # 128ch x 10 arena move exceeded the remote-compile request size
+        # limit (HTTP 413). The jitted move is CACHED across
+        # play_games_multi calls (keyed on everything the trace closes
+        # over), so repeated arena invocations — every Coach iteration runs
+        # two — reuse one traced program instead of retracing per call.
+        key = (id(env), cfg, tuple(id(f) for f in apply_fns), B,
+               None if shard is None else shard)
+        cached = _HOST_MOVE_JITS.get(key)
+        if cached is None:
+            if shard is None:
+                move_jit = jax.jit(move)
+            else:
+                # Mesh path: same explicit shardings the fused driver's
+                # jitted run enforced — params replicated, per-game carry
+                # arrays sharded on the game axis.
+                rep = jax.sharding.NamedSharding(
+                    shard.mesh, jax.sharding.PartitionSpec())
+
+                def _sh(x):
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B:
+                        return shard
+                    return rep
+
+                carry_sh = jax.tree_util.tree_map(_sh, carry0)
+                vars_sh = jax.tree_util.tree_map(
+                    lambda _: rep, list(variables_list))
+                move_jit = jax.jit(
+                    move, in_shardings=(vars_sh, carry_sh, None, None, None))
+            # Hold strong refs to the id()-keyed objects so a dead id can
+            # never alias a new env/apply_fn to a stale trace.
+            _HOST_MOVE_JITS[key] = (move_jit, env, tuple(apply_fns))
+        else:
+            move_jit = cached[0]
         carry = carry0
+        if shard is not None:
+            from alphazero_general_tpu.parallel.mesh import replicate_tree
+
+            carry = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, shard)
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B
+                else x, carry0)
+            variables_list = replicate_tree(list(variables_list), shard.mesh)
         t = 0
         while t < int(env.MAX_TURNS):
             rng, r_search, r_action = jax.random.split(rng, 3)

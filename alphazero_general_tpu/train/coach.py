@@ -151,6 +151,7 @@ class Coach:
         self._quant_ok = None  # tri-state: unknown / usable / unsupported
         self._arena_fn = None
         self._baseline_fn = None
+        self._dev_window = None  # device-resident replay ring (train())
 
     # ------------------------------------------------------------- utilities
     def _save_model(self, net: NNetWrapper, iteration: int) -> None:
@@ -433,22 +434,27 @@ class Coach:
                 with open("/proc/self/statm") as f_:
                     rss_mb = int(f_.read().split()[1]) * 4096 // 2**20
                 open_rows = sum(len(b[0]) for b in fin._open)
-                import gc
-
                 la = jax.live_arrays()
-                np_mb = sum(
-                    o.nbytes for o in gc.get_objects()
-                    if isinstance(o, np.ndarray)) // 2**20
-                try:
-                    jits = {k: f._cache_size() for k, f in fns.items()}
-                except Exception:
-                    jits = {}
-                print(f"[collect] jit_cache={jits}", flush=True)
+                extra = ""
+                if bool(self.args.get("collectDebug", False)):
+                    # Full-heap scan — hundreds of ms with a multi-GB window
+                    # resident, so opt-in only (args.collectDebug).
+                    import gc
+
+                    np_mb = sum(
+                        o.nbytes for o in gc.get_objects()
+                        if isinstance(o, np.ndarray)) // 2**20
+                    try:
+                        jits = {k: f._cache_size()
+                                for k, f in fns.items()}
+                    except Exception:
+                        jits = {}
+                    extra = f" np_mb={np_mb} jit_cache={jits}"
                 print(f"[collect] moves={moves} games={games_done} "
                       f"rss_mb={rss_mb} open_blocks={len(fin._open)} "
                       f"open_rows={open_rows} jax_arrays={len(la)} "
-                      f"jax_mb={sum(int(x.size) * x.dtype.itemsize for x in la) // 2**20} "
-                      f"np_mb={np_mb} "
+                      f"jax_mb={sum(int(x.size) * x.dtype.itemsize for x in la) // 2**20}"
+                      f"{extra} "
                       f"elapsed={time.time() - start:.0f}s", flush=True)
         games_done = int(carry.games_played)
         self.games_played_iter = games_done
@@ -509,16 +515,50 @@ class Coach:
         # the expanded dataset the way the reference does (Coach.py:375-381).
         device_sym = sym_env is not None and bool(
             self.args.get("deviceSymmetries", True))
-        data = self.store.load_window(
-            first, iteration,
-            max_samples=int(self.args.get("maxWindowSamples", 4_000_000)),
-            rng=self._np_rng, symmetric_env=sym_env,
-            expand=not device_sym)
-        if data is None:
-            print("Warning: no training data found; skipping train step")
-            self.state = TrainState.STANDBY
-            return
+        # Device-resident window (VERDICT r4 item 1): iterations upload to an
+        # HBM ring ONCE; the jitted step gathers minibatch rows on device and
+        # the host ships only index vectors. Single-process/unmeshed only —
+        # with a mesh the batch feed shards per host (per-host files), so the
+        # host feed stays; requires raw rows when symmetric (device_sym).
+        use_window = (
+            bool(self.args.get("deviceWindow", True))
+            and self.mesh is None and jax.process_count() == 1
+            and (sym_env is None or device_sym)
+        )
+        data = None
+        if use_window:
+            if self._dev_window is None:
+                from alphazero_general_tpu.selfplay.device_window import (
+                    DeviceWindow,
+                )
+
+                n_sym_f = sym_env.NUM_SYMMETRIES if device_sym else 1
+                rows = int(self.args.get("deviceWindowRows", 0)) or max(
+                    int(self.args.get("maxWindowSamples", 4_000_000))
+                    // n_sym_f, 65536)
+                self._dev_window = DeviceWindow(
+                    self.env.OBS_SHAPE, self.env.ACTION_SIZE,
+                    int(self.args._num_players), rows)
+                print(f"[device-window] ring {self._dev_window.rows} rows, "
+                      f"{self._dev_window.nbytes / 2**20:.0f} MB HBM")
+            self._dev_window.sync(self.store, first, iteration)
+            phys = self._dev_window.indices_for(first, iteration)
+            if not len(phys):
+                print("Warning: no training data found; skipping train step")
+                self.state = TrainState.STANDBY
+                return
+        else:
+            data = self.store.load_window(
+                first, iteration,
+                max_samples=int(self.args.get("maxWindowSamples", 4_000_000)),
+                rng=self._np_rng, symmetric_env=sym_env,
+                expand=not device_sym)
+            if data is None:
+                print("Warning: no training data found; skipping train step")
+                self.state = TrainState.STANDBY
+                return
         self.train_net.set_device_symmetries(sym_env if device_sym else None)
+        self.train_net.set_device_window(use_window)
 
         batch_size = int(self.args.train_batch_size)
         # Sample counts in training units (raw files scale by the symmetry
@@ -548,13 +588,44 @@ class Coach:
 
         n_sym = sym_env.NUM_SYMMETRIES if device_sym else 1
 
-        def batches():
-            while True:
-                for b in batch_iterator(data, batch_size, self._np_rng):
-                    if device_sym:
-                        b = b + (self._np_rng.integers(
-                            0, n_sym, size=len(b[0]), dtype=np.int32),)
-                    yield b
+        if use_window:
+            # No silent caps: say so when the ring could not hold the whole
+            # configured window (it degrades to the most recent rows).
+            expected_rows = window_units // n_sym
+            if len(phys) < expected_rows:
+                print(f"[device-window] window degraded: {len(phys)} of "
+                      f"{expected_rows} rows resident (ring capacity "
+                      f"{self._dev_window.rows}); raise deviceWindowRows "
+                      f"to keep the full window")
+            bufs = self._dev_window.buffers
+            resident_rows = len(phys)
+
+            def batches():
+                # Same shuffled-epochs-without-replacement distribution as
+                # batch_iterator, drawn by the same host Generator — only
+                # the row gather moved on device.
+                while True:
+                    order = self._np_rng.permutation(len(phys))
+                    end = len(phys) - (len(phys) % batch_size)
+                    if end == 0:
+                        end = len(phys)  # tiny window: one short batch
+                    for s0 in range(0, end, batch_size):
+                        idx = phys[order[s0:s0 + batch_size]]
+                        b = bufs + (idx,)
+                        if device_sym:
+                            b = b + (self._np_rng.integers(
+                                0, n_sym, size=len(idx), dtype=np.int32),)
+                        yield b
+        else:
+            resident_rows = len(data[0])
+
+            def batches():
+                while True:
+                    for b in batch_iterator(data, batch_size, self._np_rng):
+                        if device_sym:
+                            b = b + (self._np_rng.integers(
+                                0, n_sym, size=len(b[0]), dtype=np.int32),)
+                        yield b
 
         from alphazero_general_tpu.utils.misc import Bar
 
@@ -578,7 +649,7 @@ class Coach:
         self.writer.add_scalar("train/samples_seen", seen, iteration)
         self.writer.add_scalar("train/effective_epochs",
                                seen / max(window_units, 1), iteration)
-        self.writer.add_scalar("train/window_rows_resident", len(data[0]),
+        self.writer.add_scalar("train/window_rows_resident", resident_rows,
                                iteration)
         self.writer.add_scalar("loss/policy", self.loss_pi, iteration)
         self.writer.add_scalar("loss/value", self.loss_v, iteration)
@@ -600,6 +671,7 @@ class Coach:
         print(f'Training on past data from run '
               f'"{self.args.past_data_run_name}" in {num_chunks} chunks of '
               f'{chunk} iterations ({total_iters} iterations in total).')
+        self.train_net.set_device_window(False)  # chunked host feed
         batch_size = int(self.args.train_batch_size)
         start = 1
         for _ in range(num_chunks):
@@ -703,15 +775,32 @@ class Coach:
         wr = np.asarray(winrates(result, self.args.use_draws_for_winrate))
         winrate = float(wr[0])
         wins = np.asarray(result.model_wins)
+        draws = float(result.draws)
         print(f"NEW/PAST WINS : {wins[0]:.0f} / {wins[1]:.0f} ; "
-              f"DRAWS : {float(result.draws):.0f}")
+              f"DRAWS : {draws:.0f}")
         print(f"NEW MODEL WINRATE : {round(winrate, 3)}")
         self.writer.add_scalar("win_rate/past", winrate, model_iter)
+        decided = float(wins[0]) + float(wins[1])
+        wr_decided = float(wins[0]) / max(decided, 1.0)
+        self.writer.add_scalar("win_rate/past_decided", wr_decided,
+                               model_iter)
 
-        # Gating (Coach.py:558-572).
+        # Gating (Coach.py:558-572). Rule "decided" scores only decided
+        # games (args.gatingRule — draw-heavy envs pin the half-credit
+        # winrate near 0.5; see utils/config.py and results/r5/gating_ab.md).
+        if str(self.args.get("gatingRule", "reference")) == "decided":
+            gate_pass = (
+                decided >= int(self.args.get("gateMinDecided", 16))
+                and wr_decided >= self.args.min_next_model_winrate
+            )
+            print(f"GATE (decided rule): {wr_decided:.3f} over "
+                  f"{decided:.0f} decided games -> "
+                  f"{'PROMOTE' if gate_pass else 'keep'}")
+        else:
+            gate_pass = winrate >= self.args.min_next_model_winrate
         if (
             self.args.model_gating
-            and winrate < self.args.min_next_model_winrate
+            and not gate_pass
             and (self.args.max_gating_iters is None
                  or self.gating_counter < self.args.max_gating_iters)
         ):

@@ -136,6 +136,20 @@ def _build_default_args() -> Args:
         max_gating_iters=None,
         min_next_model_winrate=0.52,
         use_draws_for_winrate=True,
+        # Gate decision rule (train/coach.py compare_to_past):
+        #   "reference": winrate incl. half-credit draws >= threshold — the
+        #     reference's exact math (reference: Coach.py:558-572). At a
+        #     512-move draw cap tafl past-arenas run 50-80% draws, pinning
+        #     this winrate near 0.5: promotion at 0.52 then needs ~2/3 of
+        #     DECIDED games, and the gate can deadlock while real progress
+        #     continues (hnefatafl r4 iteration 14: 0.473, no promotion).
+        #   "decided": wins_new / decided >= threshold, requiring at least
+        #     gateMinDecided decided games (else: no promotion, counter
+        #     still advances toward max_gating_iters). Draw-heavy envs keep
+        #     promoting on the signal draws can't dilute.
+        # Offline A/B on the r4 curves: results/r5/gating_ab.md.
+        gatingRule="reference",
+        gateMinDecided=16,
         load_model=True,
         cpuct=1.25,
         value_loss_weight=1.5,
