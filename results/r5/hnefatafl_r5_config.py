@@ -1,0 +1,67 @@
+"""Round-5 hnefatafl 11x11 flagship run — the r4 recipe, restarted.
+
+The r4 run reached iteration 15 of 40 (0.594 vs RawMCTS @13, promotions
+5-13) but its checkpoints/data lived in gitignored dirs and were lost with
+the container, so VERDICT r5 item 3's "resume from 15" is impossible — this
+is a fresh run of the SAME reference recipe
+(/root/reference/alphazero/envs/hnefatafl/train_fastafl.py:11-59; see
+results/r4/hnefatafl_r4_config.py for the knob-by-knob derivation), same
+seed, driven as far as round-5 chip time allows.
+
+Round-5 deltas (each justified in-repo, none a budget cut):
+- deviceWindow + deviceWindowRows=1048576: the training window lives in HBM
+  (~6.3 GB ring; raw rows run ~40k/iteration + a 210k warmup, so the ring
+  holds the full 20-iteration window). Retires the r4 watchdog crutch: the
+  per-step host feed (and the axon client's per-transfer staging growth,
+  ~2.9 GB/iteration RSS) is replaced by one ~240 MB upload per iteration.
+- gatingRule="decided": promotes on wins/decided >= 0.52 with >= 16 decided
+  games. On every archived r4 gate this decides IDENTICALLY to the
+  reference rule (results/r5/gating_ab.md) and it cannot saturate as the
+  512-move-cap draw fraction grows.
+- log_dir results/r5 (durable), run_name hnefatafl_r5.
+"""
+import sys; sys.path.insert(0, "/root/repo")
+import time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from alphazero_general_tpu.envs import get_env
+from alphazero_general_tpu.models import NNetWrapper
+from alphazero_general_tpu.train import Coach
+from alphazero_general_tpu.utils.config import get_args
+
+RUN = "hnefatafl_r5"
+env = get_env("hnefatafl")
+args = get_args(
+    run_name=RUN,
+    seed=7,
+    numIters=40,                      # wall-clock bounded; ckpts stream
+    numWarmupIters=1,
+    numWarmupSims=5,
+    process_batch_size=512,
+    gamesPerIteration=512,            # reference: 128 * 4
+    numMCTSSims=250, numFastSims=50, probFastSim=0.8,
+    cpuct=1.25,                       # reference default + entry value
+    fpu_reduction=0.2,
+    train_batch_size=2048,
+    autoTrainSteps=True,              # ~1 epoch over latest iter's samples
+    maxWindowSamples=12_000_000,      # training units; raw rows = /8
+    deviceWindowRows=1_048_576,       # HBM ring: full 20-iter raw window
+    arenaCompare=128, arenaCompareBaseline=128, arenaTemp=0.25,
+    arenaHostLoop=True,  # fused whole-game arena crashes the TPU worker at
+                         # 250 sims x 128ch x 10 (see selfplay/arena.py and
+                         # results/r5/fused_arena_crash_repro.py)
+    min_next_model_winrate=0.52,
+    gatingRule="decided",             # results/r5/gating_ab.md
+    num_channels=128, depth=10,
+    value_head_channels=32, policy_head_channels=32,
+    value_dense_layers=[4096, 128], policy_dense_layers=[4096],
+    lr=0.01,
+    optimizer_args=dict(momentum=0.9, weight_decay=1e-3),
+    scheduler_args=dict(milestones=[75, 150], gamma=0.1),
+    minTrainHistoryWindow=4, maxTrainHistoryWindow=20,
+    log_dir="results/r5",
+)
+net = NNetWrapper(env, args)
+t0 = time.time()
+Coach(env, net, args).learn()
+print(f"TRAINING DONE wallclock_s={time.time() - t0:.1f}")
