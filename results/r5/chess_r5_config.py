@@ -42,6 +42,13 @@ args = get_args(
     arenaCompare=64, arenaCompareBaseline=64, arenaTemp=0.25,
     min_next_model_winrate=0.52,
     gatingRule="decided",
+    # Warmup lock-in guard (see hnefatafl_r5_config.py and
+    # results/r5/README.md): in r4 chess NEVER exited warmup — every
+    # iteration's samples were warmup-sized (~160k, no fast-sim discard),
+    # i.e. the whole run trained on uniform-random 5-sim play, which is
+    # why it stayed below 0.5 vs everything. The reference's
+    # max_gating_iters escape hatch ends warmup after 2 failed gates.
+    max_gating_iters=2,
     num_channels=64, depth=6,
     value_head_channels=32, policy_head_channels=32,
     value_dense_layers=[512, 128], policy_dense_layers=[512],

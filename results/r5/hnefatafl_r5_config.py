@@ -52,6 +52,19 @@ args = get_args(
                          # results/r5/fused_arena_crash_repro.py)
     min_next_model_winrate=0.52,
     gatingRule="decided",             # results/r5/gating_ab.md
+    # WARMUP LOCK-IN GUARD (results/r5/README.md): the reference keeps
+    # self-play in warmup while self_play_iter == 0 (reference:
+    # Coach.py:238-244), and the iteration-N gate pits the warmup-trained
+    # net against the RANDOM-INIT iteration-0 net — at 250 sims with the
+    # 512-move draw cap that gate measurably never passes (the warmup-data
+    # value bias beats uniform priors; observed 0.315 -> 0.178 decided
+    # winrate over 4 iterations, results/r5/hnefatafl_r5_warmuplock.log),
+    # so self-play stays uniform-random forever. This is the r3 flat-curve
+    # root cause; r4 escaped only because a crash-restart resume happened
+    # to set self_play_iter=1. max_gating_iters is the reference's own
+    # escape hatch (Coach.py:558-572): after 2 failed gates the next model
+    # is promoted unconditionally and warmup ends.
+    max_gating_iters=2,
     num_channels=128, depth=10,
     value_head_channels=32, policy_head_channels=32,
     value_dense_layers=[4096, 128], policy_dense_layers=[4096],

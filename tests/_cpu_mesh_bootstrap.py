@@ -23,3 +23,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache for the CPU test backend: the suite is
+# compile-dominated (hundreds of small jitted search programs), so warm runs
+# are several times faster. Default on under tests/; AZG_TEST_CACHE=""
+# disables, or points at a different directory.
+_cache = os.environ.get(
+    "AZG_TEST_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".test_jax_cache"))
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -184,6 +184,7 @@ def test_uci_round_trip_all_legal_moves():
             assert uci_to_action(s, action_to_uci(s, int(a))) == int(a)
 
 
+@pytest.mark.slow
 def test_selfplay_warmup_chunk():
     """The full jitted self-play pipeline runs with the 4672-action space."""
     import alphazero_general_tpu.mcts.tree as T

@@ -306,6 +306,7 @@ class TestSearchBehavior:
         trees = run_jax_search(states, sims)
         assert int(jnp.max(trees.next_free)) <= sims + 2
 
+    @pytest.mark.slow
     def test_batched_independence(self):
         """Batched search must equal per-game search (same seeds aside)."""
         sims = 40

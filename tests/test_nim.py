@@ -8,6 +8,7 @@ Arena.pyx players list) and the arena's per-model evaluation routing
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from alphazero_general_tpu.envs import get_env, list_envs
 from alphazero_general_tpu.envs.nim import MAX_TAKE, NUM_PLAYERS, PILE, Nim3
@@ -158,6 +159,7 @@ class TestGroupedEvalRouting:
 
 
 class TestAlternationContract:
+    @pytest.mark.slow
     def test_all_registered_envs_alternate(self):
         """Every built-in env must keep player == turns % N (the arena's
         grouped-eval precondition, Env.ALTERNATES)."""

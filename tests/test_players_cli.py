@@ -139,6 +139,7 @@ class TestCLI:
         assert rc == 0
         assert not d.exists()
 
+    @pytest.mark.slow
     def test_train_cli_smoke(self, tmp_path):
         from alphazero_general_tpu.cli.train import main
 

@@ -62,6 +62,7 @@ class TestQuantAccuracy:
         agree = np.mean(np.argmax(pi_q, -1) == np.argmax(pi_f, -1))
         assert agree > 0.97, agree
 
+    @pytest.mark.slow
     def test_trained_net_still_close(self):
         env = get_env("tictactoe")
         net = _make_net(env, seed=3)

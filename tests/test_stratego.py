@@ -85,6 +85,7 @@ class TestPlacement:
         assert SPY not in pieces
         assert SCOUT in pieces
 
+    @pytest.mark.slow
     def test_full_placement_reaches_move_phase(self):
         s = Stratego.init()
         rng = np.random.default_rng(0)
