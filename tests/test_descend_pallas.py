@@ -45,7 +45,10 @@ def batch_states(env, B, rng_seed=0):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
-@pytest.mark.parametrize("env,sims", [(Connect4, 40), (TicTacToe, 30)])
+@pytest.mark.parametrize("env,sims", [
+    pytest.param(Connect4, 40, marks=pytest.mark.slow),  # bigger-A twin of
+    (TicTacToe, 30),                                     # the quick case
+])
 def test_pallas_matches_xla_search(env, sims):
     B = 128  # kernel lane width
     states = batch_states(env, B)
@@ -92,6 +95,7 @@ def test_walk_outputs_match_directly():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
 
 
+@pytest.mark.slow
 def test_big_action_space_hybrid_treet():
     """Rank-walk kernel on a big-row env (hnefatafl A=2420): the hybrid
     batch-major TreeT path (tree_t big_rows) must match the XLA walk
@@ -155,6 +159,7 @@ def test_rank_pointer_tracks_mask_truth():
                 np.testing.assert_allclose(nbp[b, m], row[best])
 
 
+@pytest.mark.slow
 def test_walk_matches_after_reroot():
     """Rank-walk pointers must survive reroot compaction: grow trees, reroot
     every game at its best action, then the kernel walk on the rerooted

@@ -237,6 +237,7 @@ class TestSearchBehavior:
         best = int(jax.vmap(T.best_action)(trees)[0])
         assert best in (1, 5), f"expected winning col 1 or 5, got {best}"
 
+    @pytest.mark.slow
     def test_blocks_immediate_loss(self):
         # Player 1 to move; player 0 threatens 4-in-a-row only at col 3
         # (4,5,6 occupied, wall on the right). Uniform-value eval (the warmup
@@ -300,6 +301,7 @@ class TestSearchBehavior:
         assert cts[3] == 0
         assert cts.sum() == 99
 
+    @pytest.mark.slow
     def test_capacity_never_exceeded(self):
         sims = 50
         states = batch_states([[], [3], [3, 4]])
@@ -319,6 +321,7 @@ class TestSearchBehavior:
                 counts_batch[i], np.asarray(jax.vmap(T.counts)(single))[0]
             )
 
+    @pytest.mark.slow
     def test_fresh_path_matches_general_on_terminal_revisits(self):
         """The fresh-tree uniform-slot path must back up the STORED terminal
         vector on terminal-child revisits, exactly like the general path's
@@ -356,6 +359,7 @@ class TestSearchBehavior:
             np.asarray(jax.vmap(T.root_value)(t_f)),
             np.asarray(jax.vmap(T.root_value)(t_g)), rtol=1e-6)
 
+    @pytest.mark.slow
     def test_terminal_root_value_backup(self):
         """A search whose second move hits terminal states must not corrupt
         counts; terminal leaves re-back-up their fixed result

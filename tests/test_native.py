@@ -63,6 +63,7 @@ class TestNativeEngine:
         )
         assert best == 2, counts
 
+    @pytest.mark.slow
     def test_matches_jax_raw_search_policy(self):
         """Native and JAX raw search must broadly agree on visit
         distributions (same semantics, independent tiebreak RNG)."""

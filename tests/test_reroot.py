@@ -1,3 +1,4 @@
+import pytest
 """Tree re-rooting (update_root reuse, MCTS.pyx:185-195) tests."""
 
 import jax
@@ -27,6 +28,7 @@ def grown_tree(env, sims=50, seed=0):
 
 
 class TestReroot:
+    @pytest.mark.slow
     def test_subtree_stats_preserved(self):
         env = Connect4
         trees = grown_tree(env, sims=60)
@@ -85,6 +87,7 @@ class TestReroot:
             np.asarray(expect.board)
         )
 
+    @pytest.mark.slow
     def test_search_continues_after_reroot(self):
         """Re-rooted trees keep accumulating correct statistics."""
         env = TicTacToe
