@@ -54,10 +54,15 @@ def test_two_process_distributed_coach(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     # One retry: under parallel suite load on this 2-core host the
     # coordinator barrier has been seen to time out spuriously (VERDICT r3
-    # weak #6); a genuine regression fails both attempts.
+    # weak #6) — either as a hung pair (TimeoutExpired) or as a worker
+    # dying on Gloo's own 30 s GetKeyValue deadline. A genuine regression
+    # fails both attempts.
     try:
         procs, outs = _launch_pair(worker, tmp_path, env)
     except subprocess.TimeoutExpired:
+        procs, outs = _launch_pair(worker, tmp_path, env)
+    if any(p.returncode != 0 for p in procs) and any(
+            "DEADLINE_EXCEEDED" in o for o in outs):
         procs, outs = _launch_pair(worker, tmp_path, env)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
